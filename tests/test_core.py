@@ -1,0 +1,68 @@
+"""Core decoding tests, including the reference README toy
+(/root/reference/tests/test_core.py asserts the decoded path [1, 2, 2]).
+"""
+import numpy as np
+import pytest
+
+import torbi_tpu
+
+OBSERVATION = np.array([
+    [0.25, 0.5, 0.25],
+    [0.25, 0.25, 0.5],
+    [0.33, 0.33, 0.33],
+], dtype=np.float32)[None]
+TRANSITION = np.array([
+    [0.5, 0.25, 0.25],
+    [0.33, 0.34, 0.33],
+    [0.25, 0.25, 0.5],
+], dtype=np.float32)
+INITIAL = np.array([0.4, 0.35, 0.25], dtype=np.float32)
+
+
+def test_decode():
+    """Viterbi decoding test (reference toy fixture)"""
+    bins = torbi_tpu.from_probabilities(
+        observation=OBSERVATION,
+        transition=TRANSITION,
+        initial=INITIAL,
+        log_probs=False)
+    assert (np.asarray(bins) == np.array([[1, 2, 2]])).all()
+
+
+def test_decode_pallas_interpret():
+    """Same toy through the Pallas kernel (interpreter mode on CPU)"""
+    bins = torbi_tpu.from_probabilities(
+        observation=OBSERVATION,
+        transition=TRANSITION,
+        initial=INITIAL,
+        log_probs=False,
+        backend='pallas')
+    assert (np.asarray(bins) == np.array([[1, 2, 2]])).all()
+
+
+def test_decode_log_space():
+    """log_probs=True path must match"""
+    bins = torbi_tpu.from_probabilities(
+        observation=np.log(OBSERVATION),
+        transition=np.log(TRANSITION),
+        initial=np.log(INITIAL),
+        log_probs=True)
+    assert (np.asarray(bins) == np.array([[1, 2, 2]])).all()
+
+
+def test_decode_default_transition_initial():
+    """Uniform defaults decode to framewise argmax under uniform transition"""
+    bins = torbi_tpu.from_probabilities(observation=OBSERVATION)
+    # With uniform transition/initial, the Viterbi path is the frame argmax
+    assert (np.asarray(bins) == np.array([[1, 2, 0]])).all()
+
+
+def test_decode_torch_input():
+    """torch tensors are accepted (reference API compatibility)"""
+    torch = pytest.importorskip('torch')
+    bins = torbi_tpu.from_probabilities(
+        observation=torch.tensor(OBSERVATION),
+        transition=torch.tensor(TRANSITION),
+        initial=torch.tensor(INITIAL),
+        log_probs=False)
+    assert (np.asarray(bins) == np.array([[1, 2, 2]])).all()

@@ -1,0 +1,199 @@
+"""Bit-exactness parity tests: XLA scan path and Pallas kernels (interpreter
+mode) against the loop-based numpy oracle that encodes the reference-kernel
+contract, over random inputs including padded batches and exact ties.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torbi_tpu
+from torbi_tpu.ops import oracle
+from torbi_tpu.ops.dispatch import decode as dispatch_decode
+
+
+def random_case(rng, batch, frames, states, padded=False, log_probs=True):
+    observation = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + np.finfo(np.float32).tiny)
+    transition = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + np.finfo(np.float32).tiny)
+    initial = np.log(
+        rng.dirichlet(np.ones(states)).astype(np.float32)
+        + np.finfo(np.float32).tiny)
+    if padded:
+        batch_frames = rng.integers(1, frames + 1, size=batch).astype(np.int32)
+        batch_frames[0] = frames  # at least one full-length item
+    else:
+        batch_frames = np.full(batch, frames, dtype=np.int32)
+    return (
+        observation.astype(np.float32),
+        batch_frames,
+        transition.astype(np.float32),
+        initial.astype(np.float32))
+
+
+CASES = [
+    (1, 3, 3, False),
+    (2, 16, 8, False),
+    (4, 33, 17, True),
+    (3, 50, 64, True),
+    (8, 20, 130, True),   # states > one lane tile
+]
+
+
+@pytest.mark.parametrize('batch,frames,states,padded', CASES)
+def test_xla_matches_oracle(batch, frames, states, padded):
+    rng = np.random.default_rng(42 + batch + frames + states)
+    obs, bf, trans, init = random_case(rng, batch, frames, states, padded)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='xla'))
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize('batch,frames,states,padded', CASES)
+def test_pallas_matches_oracle(batch, frames, states, padded):
+    rng = np.random.default_rng(1000 + batch + frames + states)
+    obs, bf, trans, init = random_case(rng, batch, frames, states, padded)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas'))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_exact_ties_lowest_index():
+    """Exact ties resolve to the lowest source index on every backend"""
+    batch, frames, states = 2, 6, 5
+    # All-equal observations and transitions force ties everywhere
+    obs = np.zeros((batch, frames, states), dtype=np.float32)
+    trans = np.zeros((states, states), dtype=np.float32)
+    init = np.zeros(states, dtype=np.float32)
+    bf = np.array([frames, 3], dtype=np.int32)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    for backend in ('xla', 'pallas'):
+        got = np.asarray(dispatch_decode(
+            jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+            jnp.asarray(init), backend=backend))
+        np.testing.assert_array_equal(got, expected, err_msg=backend)
+
+
+def test_band_kernel_matches_dense():
+    """Banded transition routes through the band kernel and matches dense"""
+    rng = np.random.default_rng(7)
+    batch, frames, states, halfwidth = 4, 25, 64, 5
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + np.finfo(np.float32).tiny)
+    # Band-diagonal transition like the pitch matrix
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = trans / trans.sum(axis=1, keepdims=True)
+    trans = np.log(trans).astype(np.float32)  # -inf outside the band
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32))
+    bf = np.array([frames, frames - 3, 1, frames], dtype=np.int32)
+
+    from torbi_tpu.ops import band as band_ops
+    detected = band_ops.detect_band(jnp.asarray(trans))
+    assert detected is not None
+    lo, width, floor = detected
+    assert lo == -(halfwidth) and width == 2 * halfwidth + 1
+    assert floor is None  # -inf exterior
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_band_detection_rejects_dense():
+    from torbi_tpu.ops import band as band_ops
+    rng = np.random.default_rng(3)
+    trans = np.log(rng.dirichlet(np.ones(32), size=32).astype(np.float32)
+                   + 1e-30)
+    assert band_ops.detect_band(jnp.asarray(trans)) is None
+
+
+def test_floor_band_kernel_matches_dense():
+    """The benchmark-style log(p + tiny) banded matrix routes through the
+    constant-floor band kernel and matches the dense rule bit-exactly"""
+    from torbi_tpu.ops import band as band_ops
+
+    rng = np.random.default_rng(17)
+    batch, frames, states, halfwidth = 4, 30, 96, 6
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = trans / trans.sum(axis=1, keepdims=True)
+    trans = np.log(trans.astype(np.float32) + tiny)  # finite constant floor
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames, frames - 7, 1, frames], dtype=np.int32)
+
+    detected = band_ops.detect_band(jnp.asarray(trans))
+    assert detected is not None
+    lo, width, floor = detected
+    assert lo == -halfwidth and width == 2 * halfwidth + 1
+    assert floor == np.float32(np.log(tiny))
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_floor_band_kernel_large_posterior_spread():
+    """Out-of-band floor jumps must win when the posterior spread exceeds
+    the in-band advantage (the case a naive band kernel gets wrong)"""
+    from torbi_tpu.ops import band as band_ops
+
+    states, frames = 64, 40
+    halfwidth = 2
+    tiny = np.finfo(np.float32).tiny
+    rng = np.random.default_rng(23)
+    # Extremely peaked observations force a huge posterior spread quickly
+    obs_probs = np.full((frames, states), 1e-12, dtype=np.float64)
+    centers = (np.arange(frames) * 3) % states  # moves faster than the band
+    obs_probs[np.arange(frames), centers] = 1.0
+    obs_probs /= obs_probs.sum(axis=1, keepdims=True)
+    obs = np.log(obs_probs.astype(np.float32) + tiny)[None]
+
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = trans / trans.sum(axis=1, keepdims=True)
+    trans = np.log(trans.astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames], dtype=np.int32)
+
+    assert band_ops.detect_band(jnp.asarray(trans)) is not None
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_librosa_style_oracle_agrees():
+    """The float64 librosa-style oracle and the reference-contract oracle
+    agree on well-separated inputs"""
+    rng = np.random.default_rng(11)
+    frames, states = 20, 12
+    obs_probs = rng.dirichlet(np.ones(states) * 0.2, size=frames)
+    trans_probs = rng.dirichlet(np.ones(states), size=states)
+    init_probs = rng.dirichlet(np.ones(states))
+    path64 = oracle.viterbi_librosa_style(obs_probs, trans_probs, init_probs)
+
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(obs_probs.astype(np.float32) + tiny)[None]
+    # torbi convention: transition rows are destinations -> transpose librosa's
+    trans = np.log(trans_probs.T.astype(np.float32) + tiny)
+    init = np.log(init_probs.astype(np.float32) + tiny)
+    got = oracle.viterbi_numpy(
+        obs, np.array([frames]), trans, init)[0]
+    np.testing.assert_array_equal(got, path64)

@@ -1,0 +1,78 @@
+"""Multi-device sharded decoding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torbi_tpu
+from torbi_tpu.ops import oracle
+from torbi_tpu.parallel import batch_mesh, decode_sharded
+from torbi_tpu.parallel.files import shard_files
+
+
+def _case(rng, batch, frames, states):
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    trans = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(
+        rng.dirichlet(np.ones(states)).astype(np.float32) + tiny)
+    bf = rng.integers(1, frames + 1, size=batch).astype(np.int32)
+    bf[0] = frames
+    return obs, bf, trans, init
+
+
+def test_mesh_has_8_devices():
+    mesh = batch_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize('backend', ['xla', 'pallas'])
+def test_sharded_matches_oracle(backend):
+    rng = np.random.default_rng(5)
+    obs, bf, trans, init = _case(rng, batch=20, frames=15, states=12)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode_sharded(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend=backend))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_sharded_on_subset_mesh():
+    rng = np.random.default_rng(6)
+    obs, bf, trans, init = _case(rng, batch=6, frames=10, states=8)
+    mesh = batch_mesh(n_devices=4)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode_sharded(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), mesh=mesh, backend='xla'))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_shard_files_round_robin():
+    files = [f'in{i}' for i in range(10)]
+    outs = [f'out{i}' for i in range(10)]
+    seen = []
+    for p in range(3):
+        mine_in, mine_out = shard_files(
+            files, outs, process_index=p, process_count=3)
+        assert len(mine_in) == len(mine_out)
+        seen += mine_in
+    assert sorted(seen) == sorted(files)
+
+
+def test_shard_files_length_aware():
+    files = list(range(8))
+    outs = list(range(8))
+    lengths = [100, 1, 1, 1, 1, 1, 1, 95]
+    shards = [
+        shard_files(files, outs, process_index=p, process_count=2,
+                    lengths=lengths)[0]
+        for p in range(2)]
+    # The two heavy files must land on different processes
+    assert not (0 in shards[0] and 7 in shards[0])
+    assert not (0 in shards[1] and 7 in shards[1])
+    assert sorted(shards[0] + shards[1]) == files

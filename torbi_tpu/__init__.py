@@ -1,0 +1,56 @@
+"""torbi_tpu: a TPU-native Viterbi decoding framework.
+
+Brand-new JAX/XLA/Pallas implementation with the full capability surface of
+the reference torbi package (see SURVEY.md): batched decoding of
+time-varying categorical distributions, file and file-batch APIs, a CLI,
+entropy-based chunking of long sequences, multi-chip scale-out via
+jax.sharding, and a pitch-posteriorgram evaluation harness.
+"""
+
+###############################################################################
+# Configuration
+###############################################################################
+
+
+# Default configuration parameters to be modified
+from .config import defaults
+
+# Modify configuration (yapecs-style --config composition,
+# reference torbi/__init__.py:7-17)
+from .config.core import configure
+configure('torbi_tpu', defaults)
+
+# Import configuration parameters
+from .config.defaults import *
+import sys as _sys
+_self = _sys.modules[__name__]
+if hasattr(_self, 'defaults'):
+    del _self.defaults  # remove unnecessary module (reference parity)
+from .config.static import *
+
+
+###############################################################################
+# Module imports
+###############################################################################
+
+from .viterbi import decode
+from .core import (
+    from_probabilities,
+    from_file,
+    from_file_to_file,
+    from_files_to_files,
+    from_dataloader,
+    save,
+    save_masked,
+)
+from .chunk import chunk
+from . import data
+from . import evaluate
+from . import models
+from . import ops
+from . import parallel
+from . import partition
+from . import reference
+from . import utils
+
+__version__ = '0.1.0'

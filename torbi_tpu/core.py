@@ -1,0 +1,326 @@
+"""Decoding API.
+
+Parity surface with the reference (/root/reference/torbi/core.py): the same
+seven public symbols with the same signatures and numerics --
+``from_probabilities`` (core.py:110), ``from_file`` (:211),
+``from_file_to_file`` (:270), ``from_files_to_files`` (:310),
+``from_dataloader`` (:376), ``save`` (:466), ``save_masked`` (:471).
+
+Numerics contract replicated exactly (core.py:160-197): uniform initial
+defaults to ``log(1/S + tiny)``, uniform transition to ``log(1/S)``,
+probability inputs are ``log``-ed, and the observation is stabilized as
+``log(exp(observation) + tiny)`` in float32. ``gpu`` selects a jax device
+index (the reference's CUDA index); None uses the default device.
+"""
+import math
+import os
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import torbi_tpu
+from . import viterbi
+from .utils import io, progress, time
+from .utils.convert import to_jax
+
+FP32_TINY = float(np.finfo(np.float32).tiny)
+
+
+def _device(gpu):
+    if gpu is None:
+        return None
+    return jax.devices()[gpu]
+
+
+def from_probabilities(
+    observation,
+    batch_frames=None,
+    transition=None,
+    initial=None,
+    log_probs: bool = False,
+    gpu: Optional[int] = None,
+    num_threads: Optional[int] = 1,
+    backend: Optional[str] = None,
+):
+    """Decode a time-varying categorical distribution
+
+    Arguments
+        observation
+            Time-varying categorical distribution
+            shape=(batch, frames, states)
+        batch_frames
+            Number of frames in each batch item; defaults to all
+            shape=(batch,)
+        transition
+            Categorical transition matrix; defaults to uniform
+            shape=(states, states)
+        initial
+            Categorical initial distribution; defaults to uniform
+            shape=(states,)
+        log_probs
+            Whether inputs are in (natural) log space
+        gpu
+            Accelerator device index to use for decoding; None uses the
+            default jax device (the reference's semantics map CUDA index ->
+            jax device index)
+        num_threads
+            Accepted for reference API compatibility; unused on TPU
+        backend
+            Optional decode backend override ('pallas', 'xla')
+
+    Returns
+        indices
+            The decoded bin indices
+            shape=(batch, frames)
+    """
+    observation = to_jax(observation, jnp.float32)
+    batch, frames, states = observation.shape
+    device = _device(gpu)
+    if device is not None:
+        observation = jax.device_put(observation, device)
+
+    if batch_frames is None:
+        batch_frames = jnp.full((batch,), frames, dtype=jnp.int32)
+    batch_frames = to_jax(batch_frames, jnp.int32)
+
+    # Default to uniform initial probabilities (reference core.py:161-166
+    # includes tiny inside the log for initial but not transition)
+    if initial is None:
+        initial = jnp.full(
+            (states,), math.log((1. / states) + FP32_TINY), dtype=jnp.float32)
+    else:
+        initial = to_jax(initial, jnp.float32)
+        if not log_probs:
+            initial = jnp.log(initial)
+
+    # Default to uniform transition probabilities
+    if transition is None:
+        transition = jnp.full(
+            (states, states), math.log(1. / states), dtype=jnp.float32)
+    else:
+        transition = to_jax(transition, jnp.float32)
+        if not log_probs:
+            transition = jnp.log(transition)
+
+    # Ensure observation probabilities are in log space
+    if not log_probs:
+        observation = jnp.log(observation)
+
+    # Add epsilon for stability (reference core.py:193-197: exp, +tiny, log)
+    observation = jnp.log(jnp.exp(observation) + FP32_TINY)
+
+    # Decode (block_until_ready so the timer measures real device work)
+    with time.context('torbi'):
+        indices = viterbi.decode(
+            observation,
+            batch_frames,
+            transition,
+            initial,
+            num_threads=num_threads,
+            backend=backend,
+            finite_observation=True)
+        indices = jax.block_until_ready(indices)
+
+    return indices
+
+
+def from_file(
+    input_file: Union[str, os.PathLike],
+    transition_file: Optional[Union[str, os.PathLike]] = None,
+    initial_file: Optional[Union[str, os.PathLike]] = None,
+    log_probs: bool = False,
+    gpu: Optional[int] = None,
+    num_threads: Optional[int] = 1,
+):
+    """Decode a time-varying categorical distribution file
+
+    Arguments
+        input_file
+            Time-varying categorical distribution file
+            shape=(frames, states)
+        transition_file
+            Categorical transition matrix file; defaults to uniform.
+            Stores probabilities (not log), matching the reference convention
+            (core.py:246-250)
+        initial_file
+            Categorical initial distribution file; defaults to uniform
+            shape=(states,)
+        log_probs
+            Whether the observation is in (natural) log space
+        gpu
+            Accelerator device index; None uses the default device
+        num_threads
+            Accepted for reference API compatibility
+
+    Returns
+        indices
+            The decoded bin indices
+            shape=(frames,)
+    """
+    observation = io.load(input_file)[None]
+
+    # Transition files store probabilities; take log if observations are
+    # already log-space so everything reaches decode in log space
+    # (reference core.py:246-250)
+    if transition_file:
+        transition = io.load(transition_file)
+        if log_probs:
+            transition = np.log(transition)
+    else:
+        transition = None
+
+    if initial_file:
+        initial = io.load(initial_file)
+    else:
+        initial = None
+
+    indices = from_probabilities(
+        observation=observation,
+        transition=transition,
+        initial=initial,
+        log_probs=log_probs,
+        gpu=gpu,
+        num_threads=num_threads)
+    return indices[0]
+
+
+def from_file_to_file(
+    input_file: Union[str, os.PathLike],
+    output_file: Union[str, os.PathLike],
+    transition_file: Optional[Union[str, os.PathLike]] = None,
+    initial_file: Optional[Union[str, os.PathLike]] = None,
+    log_probs: bool = False,
+    gpu: Optional[int] = None,
+    num_threads: Optional[int] = None,
+) -> None:
+    """Decode a time-varying categorical distribution file and save"""
+    indices = from_file(
+        input_file,
+        transition_file,
+        initial_file,
+        log_probs,
+        gpu=gpu,
+        num_threads=num_threads)
+    io.save(indices, output_file)
+
+
+def from_files_to_files(
+    input_files: List[Union[str, os.PathLike]],
+    output_files: List[Union[str, os.PathLike]],
+    transition_file: Optional[Union[str, os.PathLike]] = None,
+    initial_file: Optional[Union[str, os.PathLike]] = None,
+    log_probs: bool = False,
+    gpu: Optional[int] = None,
+    num_threads: Optional[int] = None,
+) -> None:
+    """Decode time-varying categorical distribution files and save
+
+    Arguments mirror the reference (core.py:310-373). The file batch is
+    processed through the bucketing data loader; decoded indices are masked
+    to each file's frame count (or chunks are re-joined when chunked decoding
+    is enabled) and saved per file.
+    """
+    # Load transition probabilities (files store probabilities; reference
+    # core.py:340-346 applies log(x + tiny) when log_probs is set)
+    if transition_file:
+        transition = io.load(transition_file)
+        if log_probs:
+            transition = np.log(
+                transition + np.finfo(transition.dtype).tiny)
+    else:
+        transition = None
+
+    if initial_file:
+        initial = io.load(initial_file)
+    else:
+        initial = None
+
+    # Preserve file mapping
+    mapping = {
+        str(input_file): output_file
+        for input_file, output_file in zip(input_files, output_files)}
+
+    from_dataloader(
+        dataloader=torbi_tpu.data.loader(input_files),
+        output_files=mapping,
+        transition=transition,
+        initial=initial,
+        log_probs=log_probs,
+        gpu=gpu,
+        num_threads=num_threads)
+
+
+###############################################################################
+# Utilities
+###############################################################################
+
+
+def from_dataloader(
+    dataloader,
+    output_files: Dict,
+    transition=None,
+    initial=None,
+    log_probs: bool = False,
+    gpu: Optional[int] = None,
+    num_threads: Optional[int] = 1,
+) -> None:
+    """Decode time-varying categorical distributions from a dataloader
+
+    Arguments
+        dataloader
+            torbi_tpu data loader yielding
+            (observation, batch_frames, batch_chunks, input_filenames)
+        output_files
+            A dictionary mapping input filenames to output filenames
+        transition, initial, log_probs, gpu, num_threads
+            As in from_probabilities
+    """
+    bar = progress.ProgressBar(torbi_tpu.CONFIG, len(dataloader.dataset))
+
+    for (
+        observation,
+        batch_frames,
+        batch_chunks,
+        input_filenames,
+    ) in dataloader:
+
+        indices = from_probabilities(
+            observation=observation,
+            batch_frames=batch_frames,
+            transition=transition,
+            initial=initial,
+            log_probs=log_probs,
+            gpu=gpu,
+            num_threads=num_threads)
+
+        filenames = [output_files[str(file)] for file in input_filenames]
+
+        indices = np.asarray(indices)
+        if torbi_tpu.MIN_CHUNK_SIZE is not None:
+            # Re-join chunk rows into per-file sequences
+            separated = torbi_tpu.data.separate(
+                indices=indices,
+                batch_chunks=batch_chunks,
+                batch_frames=batch_frames)
+            for sequence, filename in zip(separated, filenames):
+                save(sequence, filename)
+        else:
+            for row, filename, frames in zip(
+                    indices, filenames, np.asarray(batch_frames)):
+                save_masked(row, filename, int(frames))
+
+        bar.update(len(input_filenames))
+
+    bar.close()
+
+
+def save(tensor, file):
+    """Save tensor"""
+    io.save(tensor, file)
+
+
+def save_masked(tensor, file, length):
+    """Save masked tensor"""
+    io.save(np.asarray(tensor)[..., :length], file)

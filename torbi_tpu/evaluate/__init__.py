@@ -1,0 +1,2 @@
+from .core import datasets
+from .metrics import Metrics, RPA
