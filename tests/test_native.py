@@ -1,0 +1,69 @@
+"""Native (C++) batch loader tests."""
+import numpy as np
+import pytest
+
+import torbi_tpu
+from torbi_tpu.data import native
+from torbi_tpu.data.loader import loader
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason='native loader toolchain unavailable')
+
+
+def _write(tmp_path, name, frames, states, rng):
+    array = rng.normal(size=(frames, states)).astype(np.float32)
+    np.save(tmp_path / name, array)
+    return tmp_path / f'{name}.npy', array
+
+
+def test_probe(tmp_path):
+    rng = np.random.default_rng(0)
+    file, array = _write(tmp_path, 'a', 17, 5, rng)
+    assert native.probe(file) == (17, 5)
+
+
+def test_load_batch_pads_and_matches(tmp_path):
+    rng = np.random.default_rng(1)
+    file_a, array_a = _write(tmp_path, 'a', 10, 6, rng)
+    file_b, array_b = _write(tmp_path, 'b', 4, 6, rng)
+    result = native.load_batch([file_a, file_b], 10, 6, num_threads=2)
+    assert result is not None
+    observation, frames = result
+    assert observation.shape == (2, 10, 6)
+    assert frames.tolist() == [10, 4]
+    np.testing.assert_array_equal(observation[0], array_a)
+    np.testing.assert_array_equal(observation[1, :4], array_b)
+    assert (observation[1, 4:] == 0).all()
+
+
+def test_native_loader_used_and_correct(tmp_path):
+    rng = np.random.default_rng(2)
+    files, arrays = [], []
+    for i, frames in enumerate([8, 3, 12, 5]):
+        file, array = _write(tmp_path, f'x{i}', frames, 7, rng)
+        files.append(file)
+        arrays.append(array)
+    old = torbi_tpu.BATCH_SIZE
+    torbi_tpu.BATCH_SIZE = 3
+    try:
+        data_loader = loader(files)
+        from torbi_tpu.data.loader import NativeDataLoader
+        assert isinstance(data_loader, NativeDataLoader)
+        batches = list(data_loader)
+    finally:
+        torbi_tpu.BATCH_SIZE = old
+    assert len(batches) == 2
+    obs, frames, chunks, names = batches[0]
+    assert obs.shape == (3, 12, 7)
+    assert frames.tolist() == [8, 3, 12]
+    np.testing.assert_array_equal(obs[2], arrays[2])
+
+
+def test_pt_files_fall_back_to_python(tmp_path):
+    from torbi_tpu.utils import io
+    rng = np.random.default_rng(3)
+    file = tmp_path / 'a.pt'
+    io.save(rng.normal(size=(5, 4)).astype(np.float32), file)
+    data_loader = loader([file])
+    from torbi_tpu.data.loader import DataLoader
+    assert isinstance(data_loader, DataLoader)

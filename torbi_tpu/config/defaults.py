@@ -76,6 +76,13 @@ FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 # Pad the batch dimension up to the next multiple of this inside decode
 BATCH_PAD_MULTIPLE = 8
 
+# Temperature for the MXU-accelerated approximate decode (backend='lse');
+# higher is closer to exact Viterbi (see ops/lse.py)
+LSE_BETA = 8.0
+
+# Use the native (C++) threaded .npy batch loader when applicable
+USE_NATIVE_LOADER = True
+
 
 ###############################################################################
 # Evaluation

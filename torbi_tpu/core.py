@@ -27,6 +27,35 @@ from .utils.convert import to_jax
 
 FP32_TINY = float(np.finfo(np.float32).tiny)
 
+# Converted transition/initial arrays cached per live input object so the
+# per-batch loop of from_dataloader reuses one device array (and downstream
+# band detection caches hit, they key on array identity)
+_prepare_cache = {}
+
+
+def _prepare_log(array, log_probs):
+    """Convert a transition/initial array to a log-space float32 jax array,
+    cached by input object identity."""
+    import weakref
+
+    key = (id(array), bool(log_probs))
+    if key in _prepare_cache:
+        result, ref = _prepare_cache[key]
+        if ref() is array:
+            return result
+        del _prepare_cache[key]
+    converted = to_jax(array, jnp.float32)
+    if not log_probs:
+        converted = jnp.log(converted)
+    try:
+        ref = weakref.ref(array)
+    except TypeError:
+        ref = lambda: array
+    if len(_prepare_cache) > 64:
+        _prepare_cache.clear()
+    _prepare_cache[key] = (converted, ref)
+    return converted
+
 
 def _device(gpu):
     if gpu is None:
@@ -91,18 +120,14 @@ def from_probabilities(
         initial = jnp.full(
             (states,), math.log((1. / states) + FP32_TINY), dtype=jnp.float32)
     else:
-        initial = to_jax(initial, jnp.float32)
-        if not log_probs:
-            initial = jnp.log(initial)
+        initial = _prepare_log(initial, log_probs)
 
     # Default to uniform transition probabilities
     if transition is None:
         transition = jnp.full(
             (states, states), math.log(1. / states), dtype=jnp.float32)
     else:
-        transition = to_jax(transition, jnp.float32)
-        if not log_probs:
-            transition = jnp.log(transition)
+        transition = _prepare_log(transition, log_probs)
 
     # Ensure observation probabilities are in log space
     if not log_probs:

@@ -6,8 +6,10 @@ is a prefetching thread pool feeding the device: batches are assembled off
 the critical path so file IO overlaps decoding.
 """
 from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 
 import torbi_tpu
+from . import native
 from .collate import collate as default_collate
 from .dataset import Dataset
 
@@ -54,10 +56,61 @@ class DataLoader:
                     next_submit += 1
 
 
+class NativeDataLoader:
+    """Batch loader backed by the C++ threaded .npy reader (data/native.py).
+
+    Applies when every input is .npy, chunking is disabled, and the native
+    library built; the padded (batch, max_frames, states) buffer is filled
+    outside the GIL. Yields the same tuples as DataLoader.
+    """
+
+    def __init__(self, input_files, batch_size, num_threads):
+        self.dataset = Dataset(input_files)
+        self.input_files = [str(f) for f in input_files]
+        self.batch_size = batch_size
+        self.num_threads = max(num_threads, 8)
+        self.shapes = [native.probe(f) for f in self.input_files]
+
+    def __len__(self):
+        return (len(self.input_files) + self.batch_size - 1) \
+            // self.batch_size
+
+    def __iter__(self):
+        for start in range(0, len(self.input_files), self.batch_size):
+            stop = min(start + self.batch_size, len(self.input_files))
+            files = self.input_files[start:stop]
+            shapes = self.shapes[start:stop]
+            max_frames = max(shape[0] for shape in shapes)
+            states = shapes[0][1]
+            result = native.load_batch(
+                files, max_frames, states, self.num_threads)
+            if result is None:
+                # File changed underneath or parse error: python fallback
+                batch = [(Dataset([f])[0][0], f) for f in files]
+                yield default_collate(batch)
+                continue
+            observation, batch_frames = result
+            yield observation, batch_frames, [1] * len(files), tuple(files)
+
+
+def _native_eligible(input_files):
+    import torbi_tpu as config
+    return (
+        config.USE_NATIVE_LOADER
+        and config.MIN_CHUNK_SIZE is None
+        and len(input_files) > 0
+        and all(Path(f).suffix == '.npy' for f in input_files)
+        and native.available()
+        and all(native.probe(f) is not None for f in input_files))
+
+
 def loader(input_files, num_workers=None, collate_fn=None):
     """Retrieve a data loader"""
     if num_workers is None:
         num_workers = torbi_tpu.NUM_WORKERS
+    if collate_fn is None and _native_eligible(input_files):
+        return NativeDataLoader(
+            input_files, torbi_tpu.BATCH_SIZE, num_workers)
     dataset = Dataset(input_files)
     return DataLoader(
         dataset,

@@ -1,0 +1,87 @@
+"""ctypes bindings for the native batch loader (csrc/loader.cpp)."""
+import ctypes
+import threading
+
+import numpy as np
+
+from ..csrc.build import library_path
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        path = library_path()
+        if path is None:
+            _lib = False
+            return _lib
+        lib = ctypes.CDLL(str(path))
+        lib.probe_npy.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.probe_npy.restype = ctypes.c_int
+        lib.load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.load_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available():
+    return _load_library() is not False
+
+
+def probe(path):
+    """Return (frames, states) of a .npy observation file, or None"""
+    lib = _load_library()
+    if lib is False:
+        return None
+    frames = ctypes.c_int64()
+    states = ctypes.c_int64()
+    status = lib.probe_npy(
+        str(path).encode(), ctypes.byref(frames), ctypes.byref(states))
+    if status != 0:
+        return None
+    return frames.value, states.value
+
+
+def load_batch(paths, max_frames, states, num_threads=8):
+    """Load .npy files into a zero-padded (n, max_frames, states) batch.
+
+    Returns (observation float32 array, batch_frames int32 array), or None
+    when the native path cannot handle the inputs (caller falls back).
+    """
+    lib = _load_library()
+    if lib is False:
+        return None
+    n = len(paths)
+    observation = np.empty((n, max_frames, states), dtype=np.float32)
+    frames = np.empty((n,), dtype=np.int32)
+    encoded = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*encoded)
+    status = lib.load_batch(
+        arr,
+        n,
+        observation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_frames,
+        states,
+        num_threads)
+    if status != 0:
+        return None
+    return observation, frames

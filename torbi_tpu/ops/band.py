@@ -49,18 +49,9 @@ def _round_up(value, multiple):
     return ((value + multiple - 1) // multiple) * multiple
 
 
-def detect_band(transition, states_padded=None):
-    """Detect a diagonal band (with -inf or constant-floor exterior).
-
-    transition: (states, states) log-probabilities (unpadded).
-
-    Returns (lo, width, floor) with python-scalar lo/width and floor either
-    None (exterior is -inf) or a finite python float (exterior is exactly
-    constant), or None when the banded kernels do not apply.
-    """
-    import torbi_tpu
-
-    del states_padded
+@functools.partial(jax.jit, static_argnames=())
+def _band_stats(transition):
+    """Fused device-side band statistics: (floor, lo, hi, n_above)"""
     states = transition.shape[0]
     floor = jnp.min(transition)
     above = transition > floor
@@ -71,26 +62,70 @@ def detect_band(transition, states_padded=None):
     big = 2 * states
     lo = jnp.min(jnp.where(above, d, big))
     hi = jnp.max(jnp.where(above, d, -big))
+    return floor, lo, hi, n_above
+
+
+# Detection results cached per live transition array (keyed by buffer
+# identity); detection costs a host sync per call otherwise
+_detect_cache = {}
+
+
+def detect_band(transition, states_padded=None):
+    """Detect a diagonal band (with -inf or constant-floor exterior).
+
+    transition: (states, states) log-probabilities (unpadded).
+
+    Returns (lo, width, floor) with python-scalar lo/width and floor either
+    None (exterior is -inf) or a finite python float (exterior is exactly
+    constant), or None when the banded kernels do not apply.
+    """
+    import weakref
+
+    import torbi_tpu
+
+    del states_padded
+    cache_key = None
+    try:
+        cache_key = (id(transition), transition.shape,
+                     transition.unsafe_buffer_pointer())
+    except Exception:
+        pass
+    if cache_key is not None and cache_key in _detect_cache:
+        result, ref = _detect_cache[cache_key]
+        if ref() is transition:
+            return result
+        del _detect_cache[cache_key]
+
+    states = transition.shape[0]
     # Exterior entries (outside [lo, hi]) must all equal the floor exactly;
-    # since floor is the global min and `above` is defined by > floor, this
-    # holds iff no above-floor entry lies outside [lo, hi] -- true by
-    # construction of lo/hi. What remains is ensuring the floor itself is
-    # uniform outside, which follows because all exterior entries are
-    # <= floor (floor is min) and >= floor, i.e. == floor.
-    floor, lo, hi, n_above = jax.device_get((floor, lo, hi, n_above))
-    if n_above == 0:
-        return None
-    lo, hi = int(lo), int(hi)
-    width = hi - lo + 1
-    if width > torbi_tpu.BAND_MAX_FRACTION * states:
-        return None
-    floor = float(floor)
-    if floor == NEG_INF:
-        return lo, width, None
-    import numpy as np
-    if not np.isfinite(floor):
-        return None  # NaN exterior: no fast path
-    return lo, width, floor
+    # since floor is the global min and `above` is defined by > floor, no
+    # above-floor entry lies outside [lo, hi] by construction, and exterior
+    # entries are both <= floor (it is the min) and >= floor, i.e. == floor.
+    floor, lo, hi, n_above = jax.device_get(_band_stats(transition))
+
+    result = None
+    if n_above > 0:
+        lo, hi = int(lo), int(hi)
+        width = hi - lo + 1
+        floor = float(floor)
+        if width <= torbi_tpu.BAND_MAX_FRACTION * states:
+            import numpy as np
+            if floor == NEG_INF:
+                result = (lo, width, None)
+            elif np.isfinite(floor):
+                result = (lo, width, floor)
+
+    if cache_key is not None:
+        if len(_detect_cache) > 64:
+            _detect_cache.clear()
+        # Hold a weakref so a GC'd buffer cannot alias a new array at the
+        # same id/pointer
+        try:
+            ref = weakref.ref(transition)
+        except TypeError:
+            ref = lambda: transition
+        _detect_cache[cache_key] = (result, ref)
+    return result
 
 
 def gate_band(band, initial, observation=None, finite_observation=False):

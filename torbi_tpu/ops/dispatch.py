@@ -63,6 +63,13 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     if backend == 'xla':
         return decode_xla(observation, batch_frames, transition, initial)
 
+    if backend == 'lse':
+        # MXU-accelerated approximate mode (see ops/lse.py)
+        from .lse import decode_lse
+        return decode_lse(
+            observation, batch_frames, transition, initial,
+            beta=torbi_tpu.LSE_BETA)
+
     interpret = jax.default_backend() != 'tpu'
 
     # Pad frames to a bucket and batch to a multiple to bound recompilation
