@@ -30,6 +30,33 @@ from .config.static import *
 
 
 ###############################################################################
+# Compilation cache
+###############################################################################
+
+
+# The Pallas kernels statically unroll the band recursion, so first compiles
+# are expensive; the persistent cache amortizes them across processes (the
+# reference amortizes native builds via prebuilt fat wheels instead,
+# /root/reference/setup.py:110-115)
+def _enable_compilation_cache():
+    import os
+    import jax
+    try:
+        path = os.environ.get(
+            'TORBI_TPU_COMPILATION_CACHE',
+            os.path.join(
+                os.path.expanduser('~'), '.cache', 'torbi_tpu', 'xla'))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
+_enable_compilation_cache()
+
+
+###############################################################################
 # Module imports
 ###############################################################################
 

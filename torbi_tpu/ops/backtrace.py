@@ -1,0 +1,224 @@
+"""Pallas TPU backtrace over stored posterior columns.
+
+The reference backtrace chases int32 backpointers
+(/root/reference/torbi/csrc/cuda/viterbi.cu:150-176). Here the forward
+kernels (ops/band.py) store posterior columns instead, and this kernel
+recovers each backpointer exactly where it is needed -- along the single
+realized path per sequence:
+
+    pred[b] = argmin-index argmax_i(post[b, t-1, i] + transition[cur[b], i])
+
+which is bitwise the backpointer the dense recursion would have recorded,
+including the lowest-source-index tie rule (viterbi.cpp:94-100, first-max
+wins on a left-to-right scan). Per frame and 8-sequence tile this costs one
+dynamic transition-row load per sequence plus a handful of (8, S) VPU ops --
+a rounding error next to the forward pass -- while the forward pass saves
+the 2 extra selects per in-band candidate it would spend tracking argmax.
+
+Grid: (batch tiles, frame tiles) with the frame axis iterated in reverse via
+the index maps. The chase index lives in a VMEM scratch carried across grid
+steps; the decoded column for position t0 + FT - 1 of each block is the
+index pending from the previously processed (later-in-time) block, seeded
+with argmax(posterior) so positions at or beyond batch_frames[b] - 1 hold
+the seed exactly as the reference broadcast-then-backtrace scheme
+(viterbi.cpp:218-225).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float('-inf')
+_INT_MAX = 2**30
+
+# Forward kernels emit a boundary column every BND_STRIDE frames
+BND_STRIDE = 8
+
+
+def _pick_tiles(batch, frames, states_padded):
+    """(batch_tile, frame_tile) under VMEM and tiling constraints.
+
+    - frame_tile must be a multiple of 64 so the boundary row sits at a
+      static sublane (7) of its (BT, 8, S) block, and 128 (or the full frame
+      count) so the (BT, FT) output block lane dimension is tile-aligned.
+    - The chase is a serial chain over frames: wide batch tiles amortize the
+      per-step latency (dynamic row loads + argmax reduction) over more
+      sequences per vector op, bounded by VMEM for the double-buffered
+      (BT, FT, S) posterior blocks.
+    """
+    if frames % 128 == 0:
+        frame_tile = 128
+    elif frames == 64:
+        frame_tile = 64
+    elif frames < 64 and frames % 8 == 0:
+        frame_tile = frames  # single frame tile: no boundary reads at all
+    else:
+        raise ValueError(f'frames={frames} not a multiple of 64')
+    budget = 72 * 1024 * 1024  # leave room for the resident transition
+    for batch_tile in (64, 32, 16, 8):
+        if batch % batch_tile:
+            continue
+        if 2 * batch_tile * frame_tile * states_padded * 4 <= budget:
+            return batch_tile, frame_tile
+    raise ValueError(f'batch={batch} not a multiple of 8')
+
+
+def _backtrace_kernel(
+        postseq_ref,   # (BT, FT, S) float32 block at (n, rev)
+        bnd_ref,       # (BT, 8, S) float32 block holding boundary row t0 - 1
+                       # at local sublane 7 (see in_specs)
+        trans_ref,     # (S, S) float32, resident
+        seed_ref,      # (BT, 1) int32 block at (n, 0)
+        frames_ref,    # (BT, 1) int32 block at (n, 0)
+        out_ref,       # out: (BT, FT) int32 block at (n, rev)
+        idx_ref,       # scratch: (BT, 1) int32 chase index, carried over grid
+        rows_ref,      # scratch: (BT, S) float32 gathered transition rows
+        *,
+        states_padded,
+        batch_tile,
+        frame_tile,
+        n_frame_tiles):
+    nf = pl.program_id(1)
+    t0 = (n_frame_tiles - 1 - nf) * frame_tile  # block start time
+
+    lane = lax.broadcasted_iota(
+        jnp.int32, (batch_tile, states_padded), 1)
+    bf = frames_ref[...]  # (8, 1)
+
+    @pl.when(nf == 0)
+    def _seed():
+        idx_ref[...] = seed_ref[...]
+
+    # Position t0 + FT - 1 receives the index pending from the later block
+    # (or the seed for the last block: indices[frames - 1] = seed)
+    out_ref[:, frame_tile - 1:frame_tile] = idx_ref[...]
+
+    def step(prev_post, t, k):
+        """One chase step t (writes position t - 1): the predecessor is the
+        lowest-index argmax of prev_post + transition[cur]."""
+        for b in range(batch_tile):
+            ib = idx_ref[b, 0]
+            rows_ref[b:b + 1, :] = trans_ref[pl.ds(ib, 1), :]
+        v = prev_post + rows_ref[...]
+        mx = jnp.max(v, axis=1, keepdims=True)
+        pred = jnp.min(
+            jnp.where(v == mx, lane, _INT_MAX), axis=1, keepdims=True)
+        # Chase only while t <= batch_frames - 1; beyond, hold the seed
+        new_idx = jnp.where(t <= bf - 1, pred.astype(jnp.int32), idx_ref[...])
+        idx_ref[...] = new_idx
+        if k >= 1:
+            out_ref[:, k - 1:k] = new_idx
+
+    for k in reversed(range(frame_tile)):
+        if k >= 1:
+            step(postseq_ref[:, k - 1, :], t0 + k, k)
+        elif n_frame_tiles > 1:
+            # t = t0: the predecessor posterior t0 - 1 lives in the previous
+            # frame tile; the forward pass re-emitted it as a boundary
+            # column. Skipped entirely for the t0 = 0 block (no step t = 0),
+            # and statically absent in the single-tile case.
+            @pl.when(t0 > 0)
+            def _boundary():
+                step(bnd_ref[:, 7, :], t0, 0)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_backtrace(batch, frames, states_padded, interpret=False):
+    batch_tile, frame_tile = _pick_tiles(batch, frames, states_padded)
+    n_frame_tiles = frames // frame_tile
+    kernel = functools.partial(
+        _backtrace_kernel,
+        states_padded=states_padded,
+        batch_tile=batch_tile,
+        frame_tile=frame_tile,
+        n_frame_tiles=n_frame_tiles)
+    grid = (batch // batch_tile, n_frame_tiles)
+
+    def rev(t):
+        return n_frame_tiles - 1 - t
+
+    bnd_tiles = frame_tile // BND_STRIDE
+    in_specs = [
+        pl.BlockSpec(
+            (batch_tile, frame_tile, states_padded),
+            lambda n, t: (n, rev(t), 0),
+            memory_space=pltpu.VMEM),
+        # Boundary column at time t0 - 1 lives at boundary row
+        # rev(t) * (FT / BND_STRIDE) - 1. With FT a multiple of 64 that row
+        # is sublane 7 of 8-row block (rev * bnd_tiles - 1) // 8, clamped
+        # for the t0 = 0 block where it is unused. In the single-tile case
+        # the boundary is never read; the block collapses to the full array.
+        pl.BlockSpec(
+            (batch_tile, min(8, frames // BND_STRIDE), states_padded),
+            lambda n, t: (
+                n, jnp.maximum(rev(t) * bnd_tiles - 1, 0) // 8, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (states_padded, states_padded),
+            lambda n, t: (0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (batch_tile, 1),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (batch_tile, 1),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec(
+        (batch_tile, frame_tile),
+        lambda n, t: (n, rev(t)),
+        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((batch, frames), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=batch * frames * 8 * states_padded,
+            bytes_accessed=batch * frames * states_padded * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, 1), jnp.int32),
+            pltpu.VMEM((batch_tile, states_padded), jnp.float32),
+        ],
+        interpret=interpret)
+
+    def backtrace(post_seq, boundary, transition_padded, posterior,
+                  batch_frames):
+        # Lowest-index argmax of the final posterior seeds the chase
+        # (viterbi.cpp:218-221; jnp.argmax picks the first maximum)
+        seed = jnp.argmax(posterior, axis=1).astype(jnp.int32)
+        return call(
+            post_seq,
+            boundary,
+            transition_padded,
+            seed.reshape(batch, 1),
+            batch_frames.astype(jnp.int32).reshape(batch, 1))
+
+    return jax.jit(backtrace)
+
+
+def backtrace_posteriors(post_seq, boundary, transition_padded, posterior,
+                         batch_frames, interpret=False):
+    """Backtrace stored posterior columns into decoded state indices.
+
+    post_seq: (batch, frames, states_padded) float32 from the forward kernel
+    boundary: (batch, frames // 8, states_padded) float32
+    transition_padded: (states_padded, states_padded) float32
+    posterior: (batch, states_padded) float32 final posterior
+    batch_frames: (batch,) int32
+
+    Returns (batch, frames) int32 decoded indices.
+    """
+    batch, frames, states_padded = post_seq.shape
+    bt = _build_backtrace(batch, frames, states_padded, interpret)
+    return bt(post_seq, boundary, transition_padded, posterior, batch_frames)

@@ -6,28 +6,36 @@ benchmark uses a band-limited pitch transition matrix
 (/root/reference/torbi/evaluate/core.py:23-34): after the evaluation
 pipeline's ``log(p + tiny)`` (torbi/core.py:340-346), entries outside a
 diagonal band of ~175 of 1440 columns are all exactly ``log(tiny)`` -- a
-constant floor. These kernels exploit that structure TPU-natively:
+constant floor. These kernels exploit that structure TPU-natively.
 
-- In-band scores: the transition band is compressed to a (bandwidth, states)
-  matrix and the recursion computes ``max_d(posterior[j+d+lo] + band[d, j])``
-  by rolling the posterior along the lane axis once per diagonal offset --
-  O(S * bandwidth) work, no layout transposes, 8 sequences vectorized on
-  sublanes.
-- Out-of-band scores (floor mode): for every destination j the out-of-band
-  candidates share the constant ``floor``, so their max is
-  ``floor + max(posterior outside [j+lo, j+hi])``. The window complement is a
-  prefix [0, j+lo) plus a suffix (j+hi, S); both maxes (and leftmost argmaxes)
-  come from two Hillis-Steele cumulative-max lane scans -- O(S log S) per
-  step, shared across all j.
+Design (v2, max-only forward). The forward recursion computes *values only*:
 
-Exactness incl. tie-breaking (first-max = lowest source index): prefix
-argmax keeps the leftmost tie; prefix indices < in-band indices < suffix
-indices, and the in-band scan keeps the lowest offset, so combining with
-strict-greater updates reproduces the dense lowest-index rule bit-exactly.
-With a finite floor, every posterior entry is finite from t>=1 onward
-(score_j >= floor + global max) provided at least one initial entry is
-finite; ``detect_band`` + dispatch gating enforce the preconditions and fall
-back to the dense kernel otherwise.
+    score[j] = max_d(posterior[j + d + lo] + band[d, j])        (in-band)
+    score[j] = max(score[j], floor + max_i posterior[i])        (floor mode)
+
+- The in-band max rolls the posterior along the lane axis once per diagonal
+  offset: 3 VPU ops per (state, offset) candidate (roll, add, max) -- no
+  argmax bookkeeping in the hot loop.
+- The out-of-band floor candidates all share the constant ``floor``, and any
+  in-band source i double-counted at ``floor + posterior[i]`` is dominated by
+  its in-band score (``band[d, j] >= floor`` because floor is the global
+  minimum), so the exact out-of-band contribution reduces to one lane-max of
+  the posterior per frame -- O(log S), not O(S log S).
+
+Instead of an int32 backpointer trellis, the kernel streams the *posterior
+columns* (same bytes, float32) to HBM, plus every 8th column again as
+``boundary`` blocks. Backpointers are recovered exactly -- including the
+dense lowest-source-index tie rule -- only along the realized path by the
+Pallas backtrace kernel (ops/backtrace.py), which re-argmaxes one full
+transition row per step from the stored posteriors. This halves forward
+arithmetic versus tracking argmax inline and makes tie-breaking trivially
+match the reference CPU rule (viterbi.cpp:94-100).
+
+Exactness preconditions (``gate_band`` enforces; dispatch falls back to the
+dense kernel otherwise): a pure -inf exterior requires all-finite initial;
+a constant finite floor requires at least one finite initial entry; both
+require a finite observation (guaranteed by from_probabilities' epsilon
+pipeline, torbi/core.py:193-197).
 """
 import functools
 
@@ -38,7 +46,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float('-inf')
-_INT_MAX = 2**30
 
 # Grid tile sizes: sequences and frames per kernel invocation
 BATCH_TILE = 8
@@ -170,41 +177,12 @@ def build_band_matrix(transition_padded, lo, width):
     return jnp.where(valid, gathered, NEG_INF)
 
 
-def _lane_scan_max(values, lane_index, states_padded, reverse=False):
-    """Hillis-Steele cumulative (max, leftmost-argmax) along the lane axis.
-
-    values: (8, S) float32; lane_index: (8, S) int32 absolute lane ids.
-    Returns (running max, running argmax) arrays of the same shape; entry k
-    holds the max/argmax over lanes [0, k] (or [k, S) when reverse).
-    """
-    m = values
-    a = lane_index
-    shift = 1
-    while shift < states_padded:
-        if reverse:
-            m_s = pltpu.roll(m, states_padded - shift, 1)
-            a_s = pltpu.roll(a, states_padded - shift, 1)
-            oob = lane_index >= states_padded - shift
-        else:
-            m_s = pltpu.roll(m, shift, 1)
-            a_s = pltpu.roll(a, shift, 1)
-            oob = lane_index < shift
-        m_s = jnp.where(oob, NEG_INF, m_s)
-        a_s = jnp.where(oob, _INT_MAX, a_s)
-        # Combine, preferring the lower index on ties
-        take = (m_s > m) | ((m_s == m) & (a_s < a))
-        m = jnp.where(take, m_s, m)
-        a = jnp.where(take, a_s, a)
-        shift *= 2
-    return m, a
-
-
 def _band_kernel(
         obs_ref,       # (8, 8, S) VMEM block at (n, t)
         band_ref,      # (width_padded, S) VMEM, resident
         init_ref,      # (1, S) VMEM, resident
         frames_ref,    # (8, 1) int32 VMEM block at (n, 0)
-        trellis_ref,   # out: (8, 8, S) int32 block at (n, t)
+        postseq_ref,   # out: (8, 8, S) float32 block at (n, t)
         post_ref,      # out: (8, S) float32 block at (n, 0); also the carry
         *,
         states_padded,
@@ -212,7 +190,6 @@ def _band_kernel(
         width,
         floor):
     tb = pl.program_id(1)
-    hi = lo + width - 1
 
     # Max frame count within this 8-row block, for whole-frame skipping
     block_max = frames_ref[0, 0]
@@ -221,93 +198,44 @@ def _band_kernel(
 
     frames_col = frames_ref[...]  # (8, 1)
     shift0 = (-lo) % states_padded
-    lane_index = lax.broadcasted_iota(
-        jnp.int32, (BATCH_TILE, states_padded), 1)
 
     for k in range(FRAME_TILE):
         t = tb * FRAME_TILE + k
 
         @pl.when(t == 0)
         def _init(k=k):
-            post_ref[...] = obs_ref[:, 0, :] + init_ref[...]
-            trellis_ref[:, k, :] = jnp.zeros(
-                (BATCH_TILE, states_padded), jnp.int32)
+            post0 = obs_ref[:, 0, :] + init_ref[...]
+            post_ref[...] = post0
+            postseq_ref[:, k, :] = post0
 
         @pl.when(jnp.logical_and(t > 0, t < block_max))
         def _step(k=k, t=t):
             post = post_ref[...]  # (8, S)
 
-            if floor is not None:
-                # Out-of-band floor candidates via prefix/suffix lane scans.
-                # left_best[j] = max(post[0 .. j+lo-1]) (leftmost argmax),
-                # right_best[j] = max(post[j+hi+1 ..]).
-                p_m, p_a = _lane_scan_max(
-                    post, lane_index, states_padded, reverse=False)
-                s_m, s_a = _lane_scan_max(
-                    post, lane_index, states_padded, reverse=True)
-
-                lshift = (1 - lo) % states_padded
-                left_m = pltpu.roll(p_m, lshift, 1)
-                left_a = pltpu.roll(p_a, lshift, 1)
-                left_empty = (lane_index + lo - 1 < 0) | (
-                    lane_index + lo - 1 >= states_padded)
-                best = jnp.where(
-                    left_empty, NEG_INF, left_m + floor)
-                arg = jnp.where(left_empty, _INT_MAX, left_a)
-
-                rshift = (-(hi + 1)) % states_padded
-                right_m = pltpu.roll(s_m, rshift, 1)
-                right_a = pltpu.roll(s_a, rshift, 1)
-                right_empty = lane_index + hi + 1 >= states_padded
-                right_v = jnp.where(
-                    right_empty, NEG_INF, right_m + floor)
-                right_arg = jnp.where(right_empty, _INT_MAX, right_a)
-            else:
-                best = jnp.full(
-                    (BATCH_TILE, states_padded), NEG_INF, jnp.float32)
-                arg = jnp.zeros((BATCH_TILE, states_padded), jnp.int32)
-
             # In-band max via rolled posterior windows. Statically unrolled
-            # with an independent roll per offset: a fori_loop with a
-            # loop-carried roll serializes the whole chain and stalls the
-            # vector pipeline on scalar index math
-            m_ib = jnp.full(
-                (BATCH_TILE, states_padded), NEG_INF, jnp.float32)
-            a_ib = jnp.zeros((BATCH_TILE, states_padded), jnp.int32)
+            # with an independent roll per offset for vector-pipeline ILP.
+            # Wrap-around lanes are masked by the -inf band-matrix edges
+            # (build_band_matrix), so circular rolls are exact.
+            m = jnp.full((BATCH_TILE, states_padded), NEG_INF, jnp.float32)
             for d in range(width):
                 rolled = pltpu.roll(post, (shift0 - d) % states_padded, 1)
-                v = rolled + band_ref[d:d + 1, :]  # (8,S) + (1,S)
-                gt = v > m_ib
-                a_ib = jnp.where(gt, d, a_ib)
-                m_ib = jnp.where(gt, v, m_ib)
-            abs_ib = lane_index + a_ib + lo  # absolute source index
+                m = jnp.maximum(m, rolled + band_ref[d:d + 1, :])
 
             if floor is not None:
-                # Combine: prefix-floor (lowest indices) loses only to a
-                # strictly greater in-band score; in-band loses only to a
-                # strictly greater suffix-floor score. Index ordering
-                # prefix < in-band < suffix makes this the lowest-index rule.
-                take = m_ib > best
-                best = jnp.where(take, m_ib, best)
-                arg = jnp.where(take, abs_ib, arg)
-                take = right_v > best
-                best = jnp.where(take, right_v, best)
-                arg = jnp.where(take, right_arg, arg)
-                # Degenerate all -inf row: dense argmax yields 0
-                arg = jnp.where(arg == _INT_MAX, 0, arg)
-            else:
-                best = m_ib
-                arg = abs_ib
+                # Exact out-of-band contribution: floor + global posterior
+                # max (in-band sources double-counted at the floor are
+                # dominated by their in-band candidate since band >= floor)
+                gmax = jnp.max(post, axis=1, keepdims=True)  # (8, 1)
+                m = jnp.maximum(m, gmax + floor)
 
             valid = t < frames_col  # (8, 1)
-            trellis_ref[:, k, :] = jnp.where(valid, arg, 0)
-            post_ref[...] = jnp.where(
-                valid, obs_ref[:, k, :] + best, post)
+            new_post = jnp.where(valid, obs_ref[:, k, :] + m, post)
+            post_ref[...] = new_post
+            postseq_ref[:, k, :] = new_post
 
         @pl.when(jnp.logical_and(t > 0, t >= block_max))
         def _padded(k=k):
-            trellis_ref[:, k, :] = jnp.zeros(
-                (BATCH_TILE, states_padded), jnp.int32)
+            postseq_ref[:, k, :] = post_ref[...]
 
 
 @functools.lru_cache(maxsize=64)
@@ -356,11 +284,12 @@ def _build_band_forward(batch, frames, states_padded, lo, width, floor,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, frames, states_padded), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (batch, frames, states_padded), jnp.float32),
             jax.ShapeDtypeStruct((batch, states_padded), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=batch * frames * 5 * width * states_padded,
+            flops=batch * frames * 3 * width * states_padded,
             bytes_accessed=(
                 batch * frames * states_padded * 8
                 + width_padded * states_padded * 4),
@@ -373,11 +302,16 @@ def _build_band_forward(batch, frames, states_padded, lo, width, floor,
     def forward(observation, batch_frames, transition_padded, initial):
         band_matrix = build_band_matrix(transition_padded, lo, width)
         bf = batch_frames.astype(jnp.int32)
-        return call(
+        post_seq, posterior = call(
             observation,
             band_matrix,
             initial.reshape(1, states_padded),
             bf.reshape(batch, 1))
+        # Frame-tile boundary columns for the backtrace kernel (an XLA
+        # strided slice; a dedicated (8, 1, S) kernel output would violate
+        # the TPU (8, 128) block tiling rules)
+        boundary = post_seq[:, FRAME_TILE - 1::FRAME_TILE, :]
+        return post_seq, boundary, posterior
 
     return jax.jit(forward)
 
@@ -387,8 +321,16 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
     """Banded Pallas forward pass over pre-padded inputs.
 
     band: (lo, width, floor) from detect_band, measured on the unpadded
-    transition. Returns (trellis (batch, frames, states_padded) int32,
-    posterior (batch, states_padded) float32).
+    transition.
+
+    Returns
+        post_seq: (batch, frames, states_padded) float32 posterior columns
+            (post_seq[:, t] is the posterior after consuming frame t)
+        boundary: (batch, frames // 8, states_padded) float32 posterior
+            after every 8th frame (post_seq[:, 8k+7]) for the backtrace
+            kernel's frame-tile boundaries
+        posterior: (batch, states_padded) float32 posterior at each item's
+            last valid frame (the carry; frozen at t >= batch_frames[b])
     """
     lo, width, floor = band
     batch, frames, states_padded = observation.shape

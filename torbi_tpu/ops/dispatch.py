@@ -2,15 +2,21 @@
 
 The reference dispatches between CPU/CUDA/MPS native kernels through the
 torch library mechanism (/root/reference/torbi/csrc/ops.cpp:16-18). Here the
-equivalent is a backend check: the Pallas TPU kernel on TPU, the pure-XLA
+equivalent is a backend check: the Pallas TPU kernels on TPU, the pure-XLA
 ``lax.scan`` path elsewhere. Because XLA requires static shapes, inputs are
-padded -- states to a lane multiple for the kernel, frames to a configured
-bucket, batch to a small multiple -- and results are sliced back. This bounds
-recompilation for the variable-length file workload the way the reference's
-dynamic shapes never had to.
+padded -- states to a lane multiple, frames to a configured bucket, batch to
+a small multiple -- and results are sliced back. This bounds recompilation
+for the variable-length file workload the way the reference's dynamic shapes
+never had to.
+
+The entire padded pipeline (pad -> forward kernel -> backtrace kernel ->
+slice) is staged as ONE jitted computation per (shape bucket, band
+signature), cached. Band detection and the gating finiteness checks are the
+only host-synchronizing steps and are cached per input buffer, so the steady
+state per decode call is a single compiled-function dispatch.
 """
 import functools
-import math
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +24,7 @@ import numpy as np
 
 import torbi_tpu
 from . import band as band_ops
+from .backtrace import backtrace_posteriors
 from .pallas import viterbi_forward_pallas
 from .scan import decode_xla, viterbi_backtrace
 
@@ -46,6 +53,90 @@ def resolve_backend(backend=None):
     return backend
 
 
+# Cached per-buffer results of the initial-distribution finiteness gate
+# (a host sync each otherwise; keyed like band.detect_band's cache)
+_initial_gate_cache = {}
+
+
+def _initial_ok(initial, need_all):
+    cache_key = None
+    try:
+        cache_key = (id(initial), bool(need_all),
+                     initial.unsafe_buffer_pointer())
+    except Exception:
+        pass
+    if cache_key is not None and cache_key in _initial_gate_cache:
+        ok, ref = _initial_gate_cache[cache_key]
+        if ref() is initial:
+            return ok
+        del _initial_gate_cache[cache_key]
+    finite = jnp.isfinite(initial)
+    ok = bool(finite.all() if need_all else finite.any())
+    if cache_key is not None:
+        if len(_initial_gate_cache) > 64:
+            _initial_gate_cache.clear()
+        try:
+            ref = weakref.ref(initial)
+        except TypeError:
+            ref = lambda: initial
+        _initial_gate_cache[cache_key] = (ok, ref)
+    return ok
+
+
+def _gated_band(transition, initial, observation, finite_observation):
+    """detect_band + exactness gating (band.py docstring), host syncs cached"""
+    band = band_ops.detect_band(transition)
+    if band is None:
+        return None
+    if not _initial_ok(initial, need_all=band[2] is None):
+        return None
+    if not finite_observation:
+        if not bool(jnp.isfinite(observation).all()):
+            return None
+    return band
+
+
+@functools.lru_cache(maxsize=128)
+def _build_decode(batch, frames, states, band, interpret):
+    """Stage the full padded decode pipeline as one jitted function"""
+    frames_p = bucket_frames(frames)
+    batch_p = _round_up(batch, torbi_tpu.BATCH_PAD_MULTIPLE)
+    states_p = _round_up(states, 128)
+
+    @jax.jit
+    def run(observation, batch_frames, transition, initial):
+        obs = jnp.pad(
+            observation,
+            ((0, batch_p - batch),
+             (0, frames_p - frames),
+             (0, states_p - states)),
+            constant_values=NEG_INF)
+        bf = jnp.pad(
+            batch_frames.astype(jnp.int32),
+            (0, batch_p - batch),
+            constant_values=1)
+        trans = jnp.pad(
+            transition,
+            ((0, states_p - states), (0, states_p - states)),
+            constant_values=NEG_INF)
+        init = jnp.pad(
+            initial, (0, states_p - states), constant_values=NEG_INF)
+
+        if band is not None:
+            post_seq, boundary, posterior = band_ops.viterbi_forward_band(
+                obs, bf, trans, init, band, interpret=interpret)
+            indices = backtrace_posteriors(
+                post_seq, boundary, trans, posterior, bf,
+                interpret=interpret)
+        else:
+            trellis, posterior = viterbi_forward_pallas(
+                obs, bf, trans, init, interpret=interpret)
+            indices = viterbi_backtrace(trellis, bf, posterior)
+        return indices[:batch, :frames]
+
+    return run
+
+
 def decode(observation, batch_frames, transition, initial, backend=None,
            finite_observation=False):
     """Decode log-space inputs. All arguments are jax arrays.
@@ -72,45 +163,12 @@ def decode(observation, batch_frames, transition, initial, backend=None,
 
     interpret = jax.default_backend() != 'tpu'
 
-    # Pad frames to a bucket and batch to a multiple to bound recompilation
-    frames_padded = bucket_frames(frames)
-    batch_padded = _round_up(batch, torbi_tpu.BATCH_PAD_MULTIPLE)
-    states_padded = _round_up(states, 128)
-
-    obs = jnp.pad(
-        observation,
-        ((0, batch_padded - batch),
-         (0, frames_padded - frames),
-         (0, states_padded - states)),
-        constant_values=NEG_INF)
-    bf = jnp.pad(
-        batch_frames.astype(jnp.int32),
-        (0, batch_padded - batch),
-        constant_values=1)
-    trans = jnp.pad(
-        transition,
-        ((0, states_padded - states), (0, states_padded - states)),
-        constant_values=NEG_INF)
-    init = jnp.pad(
-        initial, (0, states_padded - states), constant_values=NEG_INF)
-
-    # Banded fast path: when the transition matrix is band-limited (as in the
-    # pitch benchmark), restrict the max-plus recursion to the band
-    # Banded / band-plus-floor fast path when the transition structure and
-    # finiteness preconditions allow bit-exact equivalence (band.py docstring)
+    # Banded fast path: bit-exact when the transition structure and
+    # finiteness preconditions allow it (band.py docstring)
     band = None
     if backend in ('pallas', 'band') and torbi_tpu.USE_BAND_KERNEL:
-        band = band_ops.gate_band(
-            band_ops.detect_band(transition),
-            initial,
-            observation,
-            finite_observation)
-    if band is not None:
-        trellis, posterior = band_ops.viterbi_forward_band(
-            obs, bf, trans, init, band, interpret=interpret)
-    else:
-        trellis, posterior = viterbi_forward_pallas(
-            obs, bf, trans, init, interpret=interpret)
+        band = _gated_band(
+            transition, initial, observation, finite_observation)
 
-    indices = viterbi_backtrace(trellis, bf, posterior)
-    return indices[:batch, :frames]
+    fn = _build_decode(batch, frames, states, band, interpret)
+    return fn(observation, batch_frames, transition, initial)

@@ -94,13 +94,16 @@ def decode_sharded(
     def shard_fn(obs_shard, bf_shard, trans_rep, init_rep):
         if use_pallas:
             if band is not None:
-                trellis, posterior = band_ops.viterbi_forward_band(
+                from ..ops.backtrace import backtrace_posteriors
+                post_seq, boundary, posterior = band_ops.viterbi_forward_band(
                     obs_shard, bf_shard, trans_rep, init_rep, band,
                     interpret=interpret)
-            else:
-                trellis, posterior = viterbi_forward_pallas(
-                    obs_shard, bf_shard, trans_rep, init_rep,
+                return backtrace_posteriors(
+                    post_seq, boundary, trans_rep, posterior, bf_shard,
                     interpret=interpret)
+            trellis, posterior = viterbi_forward_pallas(
+                obs_shard, bf_shard, trans_rep, init_rep,
+                interpret=interpret)
         else:
             trellis, posterior = viterbi_forward(
                 obs_shard, bf_shard, trans_rep, init_rep)
