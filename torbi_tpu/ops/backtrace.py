@@ -2,26 +2,30 @@
 
 The reference backtrace chases int32 backpointers
 (/root/reference/torbi/csrc/cuda/viterbi.cu:150-176). Here the forward
-kernels (ops/band.py) store posterior columns instead, and this kernel
-recovers each backpointer exactly where it is needed -- along the single
-realized path per sequence:
+kernels (ops/band.py, ops/pallas.py) store posterior columns instead, and
+this kernel recovers each backpointer exactly where it is needed -- along
+the single realized path per sequence:
 
     pred[b] = argmin-index argmax_i(post[b, t-1, i] + transition[cur[b], i])
 
 which is bitwise the backpointer the dense recursion would have recorded,
 including the lowest-source-index tie rule (viterbi.cpp:94-100, first-max
-wins on a left-to-right scan). Per frame and 8-sequence tile this costs one
-dynamic transition-row load per sequence plus a handful of (8, S) VPU ops --
-a rounding error next to the forward pass -- while the forward pass saves
-the 2 extra selects per in-band candidate it would spend tracking argmax.
+wins on a left-to-right scan). Per frame and sequence tile this costs one
+dynamic transition-row load per sequence plus a handful of (BT, S) VPU ops
+-- a rounding error next to the forward pass -- while the forward pass
+saves the 2 extra selects per candidate it would spend tracking argmax.
 
 Grid: (batch tiles, frame tiles) with the frame axis iterated in reverse via
-the index maps. The chase index lives in a VMEM scratch carried across grid
-steps; the decoded column for position t0 + FT - 1 of each block is the
-index pending from the previously processed (later-in-time) block, seeded
-with argmax(posterior) so positions at or beyond batch_frames[b] - 1 hold
-the seed exactly as the reference broadcast-then-backtrace scheme
-(viterbi.cpp:218-225).
+the index maps. The posterior array is passed twice: once as the (BT, FT, S)
+block for the current frame tile, and once as a small (BT, 8, S) block whose
+index map points at the 8-frame block ending at t0 - 1, so the chase can
+cross the frame-tile boundary without a separate boundary array or a second
+full read of the posterior stream. The chase index lives in a VMEM scratch
+carried across grid steps; the decoded column for position t0 + FT - 1 of
+each block is the index pending from the previously processed
+(later-in-time) block, seeded with argmax(posterior) so positions at or
+beyond batch_frames[b] - 1 hold the seed exactly as the reference
+broadcast-then-backtrace scheme (viterbi.cpp:218-225).
 """
 import functools
 
@@ -34,16 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float('-inf')
 _INT_MAX = 2**30
 
-# Forward kernels emit a boundary column every BND_STRIDE frames
-BND_STRIDE = 8
-
 
 def _pick_tiles(batch, frames, states_padded):
     """(batch_tile, frame_tile) under VMEM and tiling constraints.
 
-    - frame_tile must be a multiple of 64 so the boundary row sits at a
-      static sublane (7) of its (BT, 8, S) block, and 128 (or the full frame
-      count) so the (BT, FT) output block lane dimension is tile-aligned.
+    - frame_tile is 128 (or the full frame count when smaller) so the
+      (BT, FT) output block lane dimension is tile-aligned.
     - The chase is a serial chain over frames: wide batch tiles amortize the
       per-step latency (dynamic row loads + argmax reduction) over more
       sequences per vector op, bounded by VMEM for the double-buffered
@@ -51,12 +51,10 @@ def _pick_tiles(batch, frames, states_padded):
     """
     if frames % 128 == 0:
         frame_tile = 128
-    elif frames == 64:
-        frame_tile = 64
-    elif frames < 64 and frames % 8 == 0:
+    elif frames <= 128 and frames % 8 == 0:
         frame_tile = frames  # single frame tile: no boundary reads at all
     else:
-        raise ValueError(f'frames={frames} not a multiple of 64')
+        raise ValueError(f'frames={frames} not a multiple of 8')
     budget = 72 * 1024 * 1024  # leave room for the resident transition
     for batch_tile in (64, 32, 16, 8):
         if batch % batch_tile:
@@ -68,8 +66,8 @@ def _pick_tiles(batch, frames, states_padded):
 
 def _backtrace_kernel(
         postseq_ref,   # (BT, FT, S) float32 block at (n, rev)
-        bnd_ref,       # (BT, 8, S) float32 block holding boundary row t0 - 1
-                       # at local sublane 7 (see in_specs)
+        bnd_ref,       # (BT, 8, S) float32 block of post_seq holding frame
+                       # t0 - 1 at local sublane 7 (see in_specs)
         trans_ref,     # (S, S) float32, resident
         seed_ref,      # (BT, 1) int32 block at (n, 0)
         frames_ref,    # (BT, 1) int32 block at (n, 0)
@@ -86,7 +84,7 @@ def _backtrace_kernel(
 
     lane = lax.broadcasted_iota(
         jnp.int32, (batch_tile, states_padded), 1)
-    bf = frames_ref[...]  # (8, 1)
+    bf = frames_ref[...]  # (BT, 1)
 
     @pl.when(nf == 0)
     def _seed():
@@ -116,10 +114,10 @@ def _backtrace_kernel(
         if k >= 1:
             step(postseq_ref[:, k - 1, :], t0 + k, k)
         elif n_frame_tiles > 1:
-            # t = t0: the predecessor posterior t0 - 1 lives in the previous
-            # frame tile; the forward pass re-emitted it as a boundary
-            # column. Skipped entirely for the t0 = 0 block (no step t = 0),
-            # and statically absent in the single-tile case.
+            # t = t0: the predecessor posterior t0 - 1 lives at sublane 7 of
+            # the previous 8-frame block of post_seq. Skipped entirely for
+            # the t0 = 0 block (no step t = 0), and statically absent in the
+            # single-tile case.
             @pl.when(t0 > 0)
             def _boundary():
                 step(bnd_ref[:, 7, :], t0, 0)
@@ -140,21 +138,17 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
     def rev(t):
         return n_frame_tiles - 1 - t
 
-    bnd_tiles = frame_tile // BND_STRIDE
+    # post_seq frame blocks of 8 rows; the one ending at t0 - 1 is block
+    # rev * (FT / 8) - 1, clamped for the t0 = 0 block where it is unused
+    bnd_blocks = frame_tile // 8
     in_specs = [
         pl.BlockSpec(
             (batch_tile, frame_tile, states_padded),
             lambda n, t: (n, rev(t), 0),
             memory_space=pltpu.VMEM),
-        # Boundary column at time t0 - 1 lives at boundary row
-        # rev(t) * (FT / BND_STRIDE) - 1. With FT a multiple of 64 that row
-        # is sublane 7 of 8-row block (rev * bnd_tiles - 1) // 8, clamped
-        # for the t0 = 0 block where it is unused. In the single-tile case
-        # the boundary is never read; the block collapses to the full array.
         pl.BlockSpec(
-            (batch_tile, min(8, frames // BND_STRIDE), states_padded),
-            lambda n, t: (
-                n, jnp.maximum(rev(t) * bnd_tiles - 1, 0) // 8, 0),
+            (batch_tile, 8, states_padded),
+            lambda n, t: (n, jnp.maximum(rev(t) * bnd_blocks - 1, 0), 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (states_padded, states_padded),
@@ -192,14 +186,13 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
         ],
         interpret=interpret)
 
-    def backtrace(post_seq, boundary, transition_padded, posterior,
-                  batch_frames):
+    def backtrace(post_seq, transition_padded, posterior, batch_frames):
         # Lowest-index argmax of the final posterior seeds the chase
         # (viterbi.cpp:218-221; jnp.argmax picks the first maximum)
         seed = jnp.argmax(posterior, axis=1).astype(jnp.int32)
         return call(
             post_seq,
-            boundary,
+            post_seq,
             transition_padded,
             seed.reshape(batch, 1),
             batch_frames.astype(jnp.int32).reshape(batch, 1))
@@ -207,12 +200,11 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
     return jax.jit(backtrace)
 
 
-def backtrace_posteriors(post_seq, boundary, transition_padded, posterior,
+def backtrace_posteriors(post_seq, transition_padded, posterior,
                          batch_frames, interpret=False):
     """Backtrace stored posterior columns into decoded state indices.
 
     post_seq: (batch, frames, states_padded) float32 from the forward kernel
-    boundary: (batch, frames // 8, states_padded) float32
     transition_padded: (states_padded, states_padded) float32
     posterior: (batch, states_padded) float32 final posterior
     batch_frames: (batch,) int32
@@ -221,4 +213,4 @@ def backtrace_posteriors(post_seq, boundary, transition_padded, posterior,
     """
     batch, frames, states_padded = post_seq.shape
     bt = _build_backtrace(batch, frames, states_padded, interpret)
-    return bt(post_seq, boundary, transition_padded, posterior, batch_frames)
+    return bt(post_seq, transition_padded, posterior, batch_frames)

@@ -91,12 +91,9 @@ def detect_band(transition, states_padded=None):
     import torbi_tpu
 
     del states_padded
-    cache_key = None
-    try:
-        cache_key = (id(transition), transition.shape,
-                     transition.unsafe_buffer_pointer())
-    except Exception:
-        pass
+    # Keyed by object identity; the stored weakref proves the id was not
+    # recycled. (unsafe_buffer_pointer is unavailable on some platforms.)
+    cache_key = (id(transition), tuple(transition.shape))
     if cache_key is not None and cache_key in _detect_cache:
         result, ref = _detect_cache[cache_key]
         if ref() is transition:
@@ -178,18 +175,29 @@ def build_band_matrix(transition_padded, lo, width):
 
 
 def _band_kernel(
-        obs_ref,       # (8, 8, S) VMEM block at (n, t)
+        obs_ref,       # (8, 8, S_in) VMEM block at (n, t); S_in unpadded
         band_ref,      # (width_padded, S) VMEM, resident
         init_ref,      # (1, S) VMEM, resident
         frames_ref,    # (8, 1) int32 VMEM block at (n, 0)
         postseq_ref,   # out: (8, 8, S) float32 block at (n, t)
         post_ref,      # out: (8, S) float32 block at (n, 0); also the carry
         *,
+        states_in,
         states_padded,
         lo,
         width,
         floor):
     tb = pl.program_id(1)
+
+    def obs_col(k):
+        # Observations stream in unpadded (saves an XLA pad copy of the
+        # largest input); lane-pad to the padded state count in-register
+        col = obs_ref[:, k, :]
+        if states_in == states_padded:
+            return col
+        pad = jnp.full(
+            (BATCH_TILE, states_padded - states_in), NEG_INF, jnp.float32)
+        return jnp.concatenate([col, pad], axis=1)
 
     # Max frame count within this 8-row block, for whole-frame skipping
     block_max = frames_ref[0, 0]
@@ -204,7 +212,7 @@ def _band_kernel(
 
         @pl.when(t == 0)
         def _init(k=k):
-            post0 = obs_ref[:, 0, :] + init_ref[...]
+            post0 = obs_col(0) + init_ref[...]
             post_ref[...] = post0
             postseq_ref[:, k, :] = post0
 
@@ -213,13 +221,22 @@ def _band_kernel(
             post = post_ref[...]  # (8, S)
 
             # In-band max via rolled posterior windows. Statically unrolled
-            # with an independent roll per offset for vector-pipeline ILP.
+            # with an independent roll per offset, and the running max split
+            # over 4 interleaved accumulators so the reduction is 4 short
+            # dependency chains instead of one width-long chain.
             # Wrap-around lanes are masked by the -inf band-matrix edges
             # (build_band_matrix), so circular rolls are exact.
-            m = jnp.full((BATCH_TILE, states_padded), NEG_INF, jnp.float32)
+            n_acc = min(4, width)
+            accs = [
+                jnp.full((BATCH_TILE, states_padded), NEG_INF, jnp.float32)
+                for _ in range(n_acc)]
             for d in range(width):
                 rolled = pltpu.roll(post, (shift0 - d) % states_padded, 1)
-                m = jnp.maximum(m, rolled + band_ref[d:d + 1, :])
+                accs[d % n_acc] = jnp.maximum(
+                    accs[d % n_acc], rolled + band_ref[d:d + 1, :])
+            m = accs[0]
+            for acc in accs[1:]:
+                m = jnp.maximum(m, acc)
 
             if floor is not None:
                 # Exact out-of-band contribution: floor + global posterior
@@ -229,7 +246,7 @@ def _band_kernel(
                 m = jnp.maximum(m, gmax + floor)
 
             valid = t < frames_col  # (8, 1)
-            new_post = jnp.where(valid, obs_ref[:, k, :] + m, post)
+            new_post = jnp.where(valid, obs_col(k) + m, post)
             post_ref[...] = new_post
             postseq_ref[:, k, :] = new_post
 
@@ -239,12 +256,13 @@ def _band_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_band_forward(batch, frames, states_padded, lo, width, floor,
-                        interpret=False):
+def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
+                        floor, interpret=False):
     assert batch % BATCH_TILE == 0 and frames % FRAME_TILE == 0
     width_padded = _round_up(width, 8)
     kernel = functools.partial(
         _band_kernel,
+        states_in=states_in,
         states_padded=states_padded,
         lo=lo,
         width=width,
@@ -252,7 +270,7 @@ def _build_band_forward(batch, frames, states_padded, lo, width, floor,
     grid = (batch // BATCH_TILE, frames // FRAME_TILE)
     in_specs = [
         pl.BlockSpec(
-            (BATCH_TILE, FRAME_TILE, states_padded),
+            (BATCH_TILE, FRAME_TILE, states_in),
             lambda n, t: (n, t, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -302,23 +320,22 @@ def _build_band_forward(batch, frames, states_padded, lo, width, floor,
     def forward(observation, batch_frames, transition_padded, initial):
         band_matrix = build_band_matrix(transition_padded, lo, width)
         bf = batch_frames.astype(jnp.int32)
-        post_seq, posterior = call(
+        return call(
             observation,
             band_matrix,
             initial.reshape(1, states_padded),
             bf.reshape(batch, 1))
-        # Frame-tile boundary columns for the backtrace kernel (an XLA
-        # strided slice; a dedicated (8, 1, S) kernel output would violate
-        # the TPU (8, 128) block tiling rules)
-        boundary = post_seq[:, FRAME_TILE - 1::FRAME_TILE, :]
-        return post_seq, boundary, posterior
 
     return jax.jit(forward)
 
 
 def viterbi_forward_band(observation, batch_frames, transition_padded,
                          initial, band, interpret=False):
-    """Banded Pallas forward pass over pre-padded inputs.
+    """Banded Pallas forward pass.
+
+    observation may carry an UNPADDED state dimension (the kernel lane-pads
+    in-register); transition_padded and initial must be padded to a lane
+    multiple with -inf, and batch/frames must be padded to multiples of 8.
 
     band: (lo, width, floor) from detect_band, measured on the unpadded
     transition.
@@ -326,14 +343,12 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
     Returns
         post_seq: (batch, frames, states_padded) float32 posterior columns
             (post_seq[:, t] is the posterior after consuming frame t)
-        boundary: (batch, frames // 8, states_padded) float32 posterior
-            after every 8th frame (post_seq[:, 8k+7]) for the backtrace
-            kernel's frame-tile boundaries
         posterior: (batch, states_padded) float32 posterior at each item's
             last valid frame (the carry; frozen at t >= batch_frames[b])
     """
     lo, width, floor = band
-    batch, frames, states_padded = observation.shape
+    batch, frames, states_in = observation.shape
+    states_padded = transition_padded.shape[0]
     fwd = _build_band_forward(
-        batch, frames, states_padded, lo, width, floor, interpret)
+        batch, frames, states_in, states_padded, lo, width, floor, interpret)
     return fwd(observation, batch_frames, transition_padded, initial)

@@ -59,12 +59,9 @@ _initial_gate_cache = {}
 
 
 def _initial_ok(initial, need_all):
-    cache_key = None
-    try:
-        cache_key = (id(initial), bool(need_all),
-                     initial.unsafe_buffer_pointer())
-    except Exception:
-        pass
+    # Keyed by object identity; the stored weakref proves the id was not
+    # recycled. (unsafe_buffer_pointer is unavailable on some platforms.)
+    cache_key = (id(initial), bool(need_all))
     if cache_key is not None and cache_key in _initial_gate_cache:
         ok, ref = _initial_gate_cache[cache_key]
         if ref() is initial:
@@ -105,11 +102,13 @@ def _build_decode(batch, frames, states, band, interpret):
 
     @jax.jit
     def run(observation, batch_frames, transition, initial):
+        # The state dimension stays unpadded: the forward kernels lane-pad
+        # observation columns in-register, saving a full-size XLA pad copy
         obs = jnp.pad(
             observation,
             ((0, batch_p - batch),
              (0, frames_p - frames),
-             (0, states_p - states)),
+             (0, 0)),
             constant_values=NEG_INF)
         bf = jnp.pad(
             batch_frames.astype(jnp.int32),
@@ -123,15 +122,13 @@ def _build_decode(batch, frames, states, band, interpret):
             initial, (0, states_p - states), constant_values=NEG_INF)
 
         if band is not None:
-            post_seq, boundary, posterior = band_ops.viterbi_forward_band(
+            post_seq, posterior = band_ops.viterbi_forward_band(
                 obs, bf, trans, init, band, interpret=interpret)
-            indices = backtrace_posteriors(
-                post_seq, boundary, trans, posterior, bf,
-                interpret=interpret)
         else:
-            trellis, posterior = viterbi_forward_pallas(
+            post_seq, posterior = viterbi_forward_pallas(
                 obs, bf, trans, init, interpret=interpret)
-            indices = viterbi_backtrace(trellis, bf, posterior)
+        indices = backtrace_posteriors(
+            post_seq, trans, posterior, bf, interpret=interpret)
         return indices[:batch, :frames]
 
     return run

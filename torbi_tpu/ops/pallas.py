@@ -1,17 +1,22 @@
-"""Pallas TPU kernels for the Viterbi forward (trellis) recursion.
+"""Pallas TPU kernel for the dense Viterbi forward recursion.
 
 TPU-native design (not a port of the reference CUDA kernel,
 /root/reference/torbi/csrc/cuda/viterbi.cu): the grid is
 (batch tiles, frame tiles) with frames innermost, so Mosaic's sequential grid
 iteration carries each sequence's posterior in a VMEM-resident output block
 (the analog of the reference's shared-memory double buffer, viterbi.cu:69-72)
-while observation blocks stream in and trellis columns stream out through the
-automatic pipelining machinery. Each grid step processes an (8 sequences x 8
-frames) tile; the (states x states) transition matrix is VMEM-resident for
-the whole kernel. Per frame, destination states are processed in (TJ, 128)
-VPU tiles with a running (max, argmax) over source-state lane tiles; ties
-resolve to the lowest source index, matching the reference CPU kernel and
-librosa (viterbi.cpp:94-100).
+while observation blocks stream in and posterior columns stream out through
+the automatic pipelining machinery. Each grid step processes an
+(8 sequences x 8 frames) tile; the (states x states) transition matrix is
+VMEM-resident for the whole kernel. Per frame, destination states are
+processed in (TJ, 128) VPU tiles with a running max over source-state lane
+tiles.
+
+Like the banded kernel (ops/band.py), this computes *values only* -- no
+argmax bookkeeping in the hot loop. Posterior columns stream to HBM and the
+Pallas backtrace kernel (ops/backtrace.py) recovers backpointers exactly,
+including the reference CPU lowest-source-index tie rule
+(viterbi.cpp:94-100), only along the realized path.
 
 All shapes must be pre-padded: states to a multiple of 128, batch and frames
 to multiples of 8 (pad transition rows/cols, observation states, and initial
@@ -26,7 +31,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float('-inf')
-_INT_MAX = 2**30
 
 # Grid tile sizes: sequences and frames per kernel invocation
 BATCH_TILE = 8
@@ -42,22 +46,30 @@ def _pick_dest_tile(states_padded):
 
 
 def _forward_kernel(
-        obs_ref,      # (8, 8, S) VMEM block at (n, t)
+        obs_ref,      # (8, 8, S_in) VMEM block at (n, t); S_in unpadded
         trans_ref,    # (S, S) VMEM, resident
         init_ref,     # (1, S) VMEM, resident
         frames_ref,   # (8, 1) int32 VMEM block at (n, 0)
-        trellis_ref,  # out: (8, 8, S) int32 block at (n, t)
+        postseq_ref,  # out: (8, 8, S) float32 block at (n, t)
         post_ref,     # out: (8, S) float32 block at (n, 0); doubles as the
                       # VMEM-resident posterior carry across the frame axis
         scores_col,   # scratch: (S, 1) float32
-        args_col,     # scratch: (S, 1) float32 (bitcast int32 backpointers;
-                      # Mosaic cannot transpose int32 (S,1)->(1,S))
         *,
+        states_in,
         states_padded,
         dest_tile):
     tb = pl.program_id(1)
     num_dest_tiles = states_padded // dest_tile
     num_src_tiles = states_padded // 128
+
+    def obs_row(b, k):
+        # Observations stream in unpadded; lane-pad in-register
+        row = obs_ref[b, k:k + 1, :]
+        if states_in == states_padded:
+            return row
+        pad = jnp.full(
+            (1, states_padded - states_in), NEG_INF, jnp.float32)
+        return jnp.concatenate([row, pad], axis=1)
 
     for k in range(FRAME_TILE):
         t = tb * FRAME_TILE + k
@@ -66,15 +78,14 @@ def _forward_kernel(
 
             @pl.when(t == 0)
             def _init(b=b, k=k):
-                post_ref[b:b + 1, :] = obs_ref[b, 0:1, :] + init_ref[...]
-                trellis_ref[b, k:k + 1, :] = jnp.zeros(
-                    (1, states_padded), jnp.int32)
+                post0 = obs_row(b, 0) + init_ref[...]
+                post_ref[b:b + 1, :] = post0
+                postseq_ref[b, k:k + 1, :] = post0
 
             @pl.when(jnp.logical_and(t > 0, t < frames_b))
             def _step(b=b, k=k):
                 for jt in range(num_dest_tiles):
                     m = jnp.full((dest_tile, 128), NEG_INF, jnp.float32)
-                    a = jnp.zeros((dest_tile, 128), jnp.int32)
                     for it in range(num_src_tiles):
                         # Slice the ref (not a loaded array): lane-sliced
                         # loaded vectors produce layouts Mosaic cannot
@@ -83,46 +94,32 @@ def _forward_kernel(
                             trans_ref[jt * dest_tile:(jt + 1) * dest_tile,
                                       it * 128:(it + 1) * 128]
                             + post_ref[b:b + 1, it * 128:(it + 1) * 128])
-                        gt = v > m
-                        lane_index = (
-                            lax.broadcasted_iota(
-                                jnp.int32, (dest_tile, 128), 1)
-                            + it * 128)
-                        a = jnp.where(gt, lane_index, a)
-                        m = jnp.where(gt, v, m)
-                    best = jnp.max(m, axis=1, keepdims=True)
-                    # lowest absolute source index among tied lanes
-                    arg = jnp.min(
-                        jnp.where(m == best, a, jnp.full_like(a, _INT_MAX)),
-                        axis=1,
-                        keepdims=True)
-                    scores_col[jt * dest_tile:(jt + 1) * dest_tile, :] = best
-                    args_col[jt * dest_tile:(jt + 1) * dest_tile, :] = (
-                        pltpu.bitcast(arg, jnp.float32))
-                trellis_ref[b, k:k + 1, :] = pltpu.bitcast(
-                    jnp.transpose(args_col[...]), jnp.int32)
-                post_ref[b:b + 1, :] = (
-                    obs_ref[b, k:k + 1, :] + jnp.transpose(scores_col[...]))
+                        m = jnp.maximum(m, v)
+                    scores_col[jt * dest_tile:(jt + 1) * dest_tile, :] = (
+                        jnp.max(m, axis=1, keepdims=True))
+                new_post = (
+                    obs_row(b, k) + jnp.transpose(scores_col[...]))
+                post_ref[b:b + 1, :] = new_post
+                postseq_ref[b, k:k + 1, :] = new_post
 
             @pl.when(jnp.logical_and(t > 0, t >= frames_b))
             def _padded(b=b, k=k):
-                # Reference trellis is zero-initialized and untouched past the
-                # valid frame count (viterbi.cpp:201, :81); the posterior
-                # freezes at the last valid frame
-                trellis_ref[b, k:k + 1, :] = jnp.zeros(
-                    (1, states_padded), jnp.int32)
+                # The posterior freezes at the last valid frame
+                # (viterbi.cpp:81 loops t in [1, frames))
+                postseq_ref[b, k:k + 1, :] = post_ref[b:b + 1, :]
 
 
 @functools.lru_cache(maxsize=64)
-def _build_forward(batch, frames, states_padded, interpret=False):
+def _build_forward(batch, frames, states_in, states_padded, interpret=False):
     assert batch % BATCH_TILE == 0 and frames % FRAME_TILE == 0
     dest_tile = _pick_dest_tile(states_padded)
     kernel = functools.partial(
-        _forward_kernel, states_padded=states_padded, dest_tile=dest_tile)
+        _forward_kernel, states_in=states_in, states_padded=states_padded,
+        dest_tile=dest_tile)
     grid = (batch // BATCH_TILE, frames // FRAME_TILE)
     in_specs = [
             pl.BlockSpec(
-                (BATCH_TILE, FRAME_TILE, states_padded),
+                (BATCH_TILE, FRAME_TILE, states_in),
                 lambda n, t: (n, t, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -157,15 +154,15 @@ def _build_forward(batch, frames, states_padded, interpret=False):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, frames, states_padded), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (batch, frames, states_padded), jnp.float32),
             jax.ShapeDtypeStruct((batch, states_padded), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((states_padded, 1), jnp.float32),
-            pltpu.VMEM((states_padded, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=batch * frames * 4 * states_padded * states_padded,
+            flops=batch * frames * 2 * states_padded * states_padded,
             bytes_accessed=(
                 batch * frames * states_padded * 8
                 + states_padded * states_padded * 4),
@@ -197,9 +194,10 @@ def viterbi_forward_pallas(observation, batch_frames, transition, initial,
     transition: (states_padded, states_padded) float32 log-probs
     initial: (states_padded,) float32 log-probs
 
-    Returns (trellis (batch, frames, states_padded) int32,
-             posterior (batch, states_padded) float32)
+    Returns (post_seq, posterior) exactly like band.viterbi_forward_band
+    (see its docstring); decode with backtrace.backtrace_posteriors.
     """
-    batch, frames, states_padded = observation.shape
-    fwd = _build_forward(batch, frames, states_padded, interpret)
+    batch, frames, states_in = observation.shape
+    states_padded = transition.shape[0]
+    fwd = _build_forward(batch, frames, states_in, states_padded, interpret)
     return fwd(observation, batch_frames, transition, initial)

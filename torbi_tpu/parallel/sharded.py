@@ -93,20 +93,20 @@ def decode_sharded(
 
     def shard_fn(obs_shard, bf_shard, trans_rep, init_rep):
         if use_pallas:
+            from ..ops.backtrace import backtrace_posteriors
             if band is not None:
-                from ..ops.backtrace import backtrace_posteriors
-                post_seq, boundary, posterior = band_ops.viterbi_forward_band(
+                post_seq, posterior = band_ops.viterbi_forward_band(
                     obs_shard, bf_shard, trans_rep, init_rep, band,
                     interpret=interpret)
-                return backtrace_posteriors(
-                    post_seq, boundary, trans_rep, posterior, bf_shard,
+            else:
+                post_seq, posterior = viterbi_forward_pallas(
+                    obs_shard, bf_shard, trans_rep, init_rep,
                     interpret=interpret)
-            trellis, posterior = viterbi_forward_pallas(
-                obs_shard, bf_shard, trans_rep, init_rep,
+            return backtrace_posteriors(
+                post_seq, trans_rep, posterior, bf_shard,
                 interpret=interpret)
-        else:
-            trellis, posterior = viterbi_forward(
-                obs_shard, bf_shard, trans_rep, init_rep)
+        trellis, posterior = viterbi_forward(
+            obs_shard, bf_shard, trans_rep, init_rep)
         return viterbi_backtrace(trellis, bf_shard, posterior)
 
     sharded = shard_map(
