@@ -69,6 +69,16 @@ USE_BAND_KERNEL = True
 # banded kernel is preferred over the dense kernel
 BAND_MAX_FRACTION = 0.5
 
+# Speculative gated-tail band kernel: run the full in-band recursion only
+# over BAND_CORE_WIDTH central diagonal offsets, and execute the tail
+# offsets per 384-lane unit only when an exact upper bound says they could
+# matter (value-exact; see ops/band.py). Off by default: although ~80% of
+# unit-sides skip on peaked data, Mosaic lowers the dynamic-shift rotate in
+# the tail loop far too slowly on v5e for the skipping to pay off
+# (measured ~5x slower than the unconditional kernel at width 175).
+BAND_TAIL_GATING = False
+BAND_CORE_WIDTH = 63
+
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
 FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)

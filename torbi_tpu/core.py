@@ -304,6 +304,30 @@ def from_dataloader(
     """
     bar = progress.ProgressBar(torbi_tpu.CONFIG, len(dataloader.dataset))
 
+    def flush(pending):
+        """Materialize a finished batch and save per-file outputs.
+
+        Runs AFTER the next batch's decode has been dispatched, so the
+        device crunches batch N+1 while the host fetches and writes batch N
+        (JAX dispatch is asynchronous; np.asarray is the sync point).
+        """
+        indices, batch_frames, batch_chunks, filenames = pending
+        indices = np.asarray(indices)
+        if torbi_tpu.MIN_CHUNK_SIZE is not None:
+            # Re-join chunk rows into per-file sequences
+            separated = torbi_tpu.data.separate(
+                indices=indices,
+                batch_chunks=batch_chunks,
+                batch_frames=batch_frames)
+            for sequence, filename in zip(separated, filenames):
+                save(sequence, filename)
+        else:
+            for row, filename, frames in zip(
+                    indices, filenames, np.asarray(batch_frames)):
+                save_masked(row, filename, int(frames))
+        bar.update(len(filenames))
+
+    pending = None
     for (
         observation,
         batch_frames,
@@ -320,24 +344,16 @@ def from_dataloader(
             gpu=gpu,
             num_threads=num_threads)
 
-        filenames = [output_files[str(file)] for file in input_filenames]
+        if pending is not None:
+            flush(pending)
+        pending = (
+            indices,
+            batch_frames,
+            batch_chunks,
+            [output_files[str(file)] for file in input_filenames])
 
-        indices = np.asarray(indices)
-        if torbi_tpu.MIN_CHUNK_SIZE is not None:
-            # Re-join chunk rows into per-file sequences
-            separated = torbi_tpu.data.separate(
-                indices=indices,
-                batch_chunks=batch_chunks,
-                batch_frames=batch_frames)
-            for sequence, filename in zip(separated, filenames):
-                save(sequence, filename)
-        else:
-            for row, filename, frames in zip(
-                    indices, filenames, np.asarray(batch_frames)):
-                save_masked(row, filename, int(frames))
-
-        bar.update(len(input_filenames))
-
+    if pending is not None:
+        flush(pending)
     bar.close()
 
 

@@ -255,18 +255,213 @@ def _band_kernel(
             postseq_ref[:, k, :] = post_ref[...]
 
 
+def _gate_pad(width):
+    """Lane padding of the gated kernel's posterior scratch; must cover
+    |lo| (< width) plus the aligned-window slack: the last unit's window
+    ends at most width + 255 lanes past the posterior"""
+    return _round_up(width + 256, 128)
+
+
+def _pick_gate_unit(states_padded):
+    for unit in (384, 256, 128):
+        if states_padded % unit == 0:
+            return unit
+    raise ValueError(f'states_padded={states_padded} not a multiple of 128')
+
+
+def _band_kernel_gated(
+        obs_ref,       # (8, 8, S_in) VMEM block at (n, t); S_in unpadded
+        band_ref,      # (width_padded, S) VMEM, resident
+        init_ref,      # (1, S) VMEM, resident
+        frames_ref,    # (8, 1) int32 VMEM block at (n, 0)
+        cmax_ref,      # (8, S) VMEM, resident: rows 0/1 = per-destination
+                       # max band value over the left/right tail offsets
+        postseq_ref,   # out: (8, 8, S) float32 block at (n, t)
+        post_ref,      # out: (8, S) float32 block at (n, 0); also the carry
+        padpost_ref,   # scratch: (8, PAD + S + PAD) float32
+        m_ref,         # scratch: (8, S) float32
+        *,
+        states_in,
+        states_padded,
+        lo,
+        width,
+        floor,
+        core_w):
+    """Speculative core + gated tails (value-exact).
+
+    The full in-band max runs only over the ``core_w`` central offsets.
+    For the tail offsets, a per-destination upper bound
+    ``sliding_max(posterior) + max(tail band column)`` is compared against
+    the running max; a 384-lane unit executes its exact tail pass only when
+    some destination's bound exceeds it. Skipping is exact for *values*
+    (every skipped candidate is dominated), and values are all the
+    backtrace kernel needs -- argmax is re-derived along the realized path.
+    On peaked posteriorgrams ~80%+ of unit-sides skip.
+    """
+    tb = pl.program_id(1)
+    c0 = (width - core_w) // 2
+    c1 = c0 + core_w
+    kl, kr = c0, width - c1
+    unit = _pick_gate_unit(states_padded)
+    n_units = states_padded // unit
+    shift0 = (-lo) % states_padded
+    pad = _gate_pad(width)
+    # Tail source window per unit: statically 128-aligned (Mosaic requires
+    # provably aligned lane indices), wide enough for every tail offset
+    win_w = _round_up(unit + 128 + width, 128)
+
+    def obs_col(k):
+        col = obs_ref[:, k, :]
+        if states_in == states_padded:
+            return col
+        pad = jnp.full(
+            (BATCH_TILE, states_padded - states_in), NEG_INF, jnp.float32)
+        return jnp.concatenate([col, pad], axis=1)
+
+    def roll_left(x, s):
+        # out[j] = x[(j + s) mod S]
+        return pltpu.roll(x, (states_padded - s) % states_padded, 1)
+
+    def sliding_max(x, k_width):
+        """g[j] = max(x[j .. j+k_width-1]) (circular; superset at wrap)"""
+        g = x
+        s = 1
+        while 2 * s <= k_width:
+            g = jnp.maximum(g, roll_left(g, s))
+            s *= 2
+        if s < k_width:
+            g = jnp.maximum(g, roll_left(g, k_width - s))
+        return g
+
+    block_max = frames_ref[0, 0]
+    for b in range(1, BATCH_TILE):
+        block_max = jnp.maximum(block_max, frames_ref[b, 0])
+    frames_col = frames_ref[...]
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, tb == 0))
+    def _edges():
+        # -inf guard lanes around the posterior scratch; written once, the
+        # per-frame copy only touches the middle
+        padpost_ref[...] = jnp.full(
+            padpost_ref.shape, NEG_INF, jnp.float32)
+
+    for k in range(FRAME_TILE):
+        t = tb * FRAME_TILE + k
+
+        @pl.when(t == 0)
+        def _init(k=k):
+            post0 = obs_col(0) + init_ref[...]
+            post_ref[...] = post0
+            postseq_ref[:, k, :] = post0
+
+        @pl.when(jnp.logical_and(t > 0, t < block_max))
+        def _step(k=k, t=t):
+            post = post_ref[...]  # (8, S)
+            padpost_ref[:, pad:pad + states_padded] = post
+
+            # Core offsets, exactly as the ungated kernel
+            n_acc = min(4, core_w)
+            accs = [
+                jnp.full((BATCH_TILE, states_padded), NEG_INF, jnp.float32)
+                for _ in range(n_acc)]
+            for d in range(c0, c1):
+                rolled = pltpu.roll(post, (shift0 - d) % states_padded, 1)
+                accs[(d - c0) % n_acc] = jnp.maximum(
+                    accs[(d - c0) % n_acc], rolled + band_ref[d:d + 1, :])
+            m = accs[0]
+            for acc in accs[1:]:
+                m = jnp.maximum(m, acc)
+
+            if floor is not None:
+                gmax = jnp.max(post, axis=1, keepdims=True)
+                m = jnp.maximum(m, gmax + floor)
+
+            # Tail bounds: window max of the posterior over each tail's
+            # source range plus the tail's max band value per destination
+            w_left = pltpu.roll(sliding_max(post, kl), shift0, 1)
+            w_right = pltpu.roll(
+                sliding_max(post, kr),
+                (shift0 - c1) % states_padded, 1)
+            need_l = (w_left + cmax_ref[0:1, :]) > m
+            need_r = (w_right + cmax_ref[1:2, :]) > m
+
+            m_ref[...] = m
+
+            for d0, d1, need in ((0, c0, need_l), (c1, width, need_r)):
+                if d0 == d1:
+                    continue
+                for u in range(n_units):
+                    base = u * unit
+                    # Aligned window covering sources for every tail offset
+                    # of this unit; the per-offset extraction is a
+                    # dynamic-shift rotate of the window (dynamic *slices*
+                    # must be provably 128-aligned; rotates need not be)
+                    ws = ((pad + base + lo) // 128) * 128
+                    delta = pad + base + lo - ws  # in [0, 128)
+
+                    @pl.when(jnp.any(need[:, base:base + unit]))
+                    def _tail(base=base, d0=d0, d1=d1, ws=ws, delta=delta):
+                        win = padpost_ref[:, ws:ws + win_w]
+
+                        def body(d, acc):
+                            # rolled[j] = win[j + delta + d]; no wrap for
+                            # j < unit since delta + d + unit <= win_w
+                            rolled = pltpu.roll(
+                                win, (win_w - delta - d) % win_w, 1)
+                            src = rolled[:, :unit]
+                            brow = band_ref[
+                                pl.ds(d, 1), base:base + unit]
+                            return jnp.maximum(acc, src + brow)
+                        acc = lax.fori_loop(
+                            d0, d1, body,
+                            jnp.full(
+                                (BATCH_TILE, unit), NEG_INF, jnp.float32))
+                        m_ref[:, base:base + unit] = jnp.maximum(
+                            m_ref[:, base:base + unit], acc)
+
+            valid = t < frames_col
+            new_post = jnp.where(valid, obs_col(k) + m_ref[...], post)
+            post_ref[...] = new_post
+            postseq_ref[:, k, :] = new_post
+
+        @pl.when(jnp.logical_and(t > 0, t >= block_max))
+        def _padded(k=k):
+            postseq_ref[:, k, :] = post_ref[...]
+
+
+def _build_cmax(band_matrix, c0, c1, width):
+    """(8, S) resident input: rows 0/1 = max tail band value per dest"""
+    states_padded = band_matrix.shape[1]
+    neg = jnp.full((states_padded,), NEG_INF, jnp.float32)
+    cmax_l = jnp.max(band_matrix[:c0], axis=0) if c0 > 0 else neg
+    cmax_r = jnp.max(band_matrix[c1:width], axis=0) if width > c1 else neg
+    return jnp.stack(
+        [cmax_l, cmax_r] + [neg] * 6, axis=0)
+
+
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
-                        floor, interpret=False):
+                        floor, core_w=None, interpret=False):
     assert batch % BATCH_TILE == 0 and frames % FRAME_TILE == 0
     width_padded = _round_up(width, 8)
-    kernel = functools.partial(
-        _band_kernel,
-        states_in=states_in,
-        states_padded=states_padded,
-        lo=lo,
-        width=width,
-        floor=floor)
+    gated = core_w is not None
+    if gated:
+        kernel = functools.partial(
+            _band_kernel_gated,
+            states_in=states_in,
+            states_padded=states_padded,
+            lo=lo,
+            width=width,
+            floor=floor,
+            core_w=core_w)
+    else:
+        kernel = functools.partial(
+            _band_kernel,
+            states_in=states_in,
+            states_padded=states_padded,
+            lo=lo,
+            width=width,
+            floor=floor)
     grid = (batch // BATCH_TILE, frames // FRAME_TILE)
     in_specs = [
         pl.BlockSpec(
@@ -286,6 +481,12 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             lambda n, t: (n, 0),
             memory_space=pltpu.VMEM),
     ]
+    if gated:
+        in_specs.append(
+            pl.BlockSpec(
+                (8, states_padded),
+                lambda n, t: (0, 0),
+                memory_space=pltpu.VMEM))
     out_specs = [
         pl.BlockSpec(
             (BATCH_TILE, FRAME_TILE, states_padded),
@@ -315,16 +516,36 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
+        scratch_shapes=(
+            [
+                pltpu.VMEM(
+                    (BATCH_TILE, 2 * _gate_pad(width) + states_padded),
+                    jnp.float32),
+                pltpu.VMEM((BATCH_TILE, states_padded), jnp.float32),
+            ] if gated else []),
         interpret=interpret)
 
-    def forward(observation, batch_frames, transition_padded, initial):
-        band_matrix = build_band_matrix(transition_padded, lo, width)
-        bf = batch_frames.astype(jnp.int32)
-        return call(
-            observation,
-            band_matrix,
-            initial.reshape(1, states_padded),
-            bf.reshape(batch, 1))
+    if gated:
+        c0 = (width - core_w) // 2
+
+        def forward(observation, batch_frames, transition_padded, initial):
+            band_matrix = build_band_matrix(transition_padded, lo, width)
+            bf = batch_frames.astype(jnp.int32)
+            return call(
+                observation,
+                band_matrix,
+                initial.reshape(1, states_padded),
+                bf.reshape(batch, 1),
+                _build_cmax(band_matrix, c0, c0 + core_w, width))
+    else:
+        def forward(observation, batch_frames, transition_padded, initial):
+            band_matrix = build_band_matrix(transition_padded, lo, width)
+            bf = batch_frames.astype(jnp.int32)
+            return call(
+                observation,
+                band_matrix,
+                initial.reshape(1, states_padded),
+                bf.reshape(batch, 1))
 
     return jax.jit(forward)
 
@@ -346,9 +567,18 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
         posterior: (batch, states_padded) float32 posterior at each item's
             last valid frame (the carry; frozen at t >= batch_frames[b])
     """
+    import torbi_tpu
+
     lo, width, floor = band
     batch, frames, states_in = observation.shape
     states_padded = transition_padded.shape[0]
+    # Speculative gated-tail kernel: worth it when the tails are wide enough
+    # to amortize the bound computation
+    core_w = None
+    if (torbi_tpu.BAND_TAIL_GATING
+            and width - torbi_tpu.BAND_CORE_WIDTH >= 32):
+        core_w = torbi_tpu.BAND_CORE_WIDTH
     fwd = _build_band_forward(
-        batch, frames, states_in, states_padded, lo, width, floor, interpret)
+        batch, frames, states_in, states_padded, lo, width, floor, core_w,
+        interpret)
     return fwd(observation, batch_frames, transition_padded, initial)
