@@ -76,3 +76,40 @@ def test_shard_files_length_aware():
     assert not (0 in shards[0] and 7 in shards[0])
     assert not (0 in shards[1] and 7 in shards[1])
     assert sorted(shards[0] + shards[1]) == files
+
+
+def test_time_sharded_matches_oracle():
+    """Exact sequence-sharded decode: one sequence's frame axis split over
+    the 8-device mesh (associative max-plus scan + one all_gather)"""
+    from torbi_tpu.parallel import batch_mesh, decode_time_sharded
+    from torbi_tpu.ops import oracle
+
+    rng = np.random.default_rng(13)
+    frames, states = 64, 48
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=frames).astype(np.float32)
+        + tiny)
+    trans = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(
+        rng.dirichlet(np.ones(states)).astype(np.float32) + tiny)
+
+    expected = oracle.viterbi_numpy(
+        obs[None], np.array([frames], dtype=np.int32), trans, init)[0]
+    mesh = batch_mesh(n_devices=8)
+    got = np.asarray(decode_time_sharded(
+        jnp.asarray(obs), jnp.asarray(trans), jnp.asarray(init), mesh=mesh))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_time_sharded_frames_not_divisible():
+    from torbi_tpu.parallel import batch_mesh, decode_time_sharded
+
+    mesh = batch_mesh(n_devices=8)
+    obs = jnp.zeros((10, 4), jnp.float32)
+    trans = jnp.zeros((4, 4), jnp.float32)
+    init = jnp.zeros((4,), jnp.float32)
+    with pytest.raises(ValueError):
+        decode_time_sharded(obs, trans, init, mesh=mesh)
