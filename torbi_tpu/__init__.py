@@ -42,6 +42,11 @@ def _enable_compilation_cache():
     import os
     import jax
     try:
+        # Respect an existing user configuration (env var or jax.config)
+        if os.environ.get('JAX_COMPILATION_CACHE_DIR'):
+            return
+        if getattr(jax.config, 'jax_compilation_cache_dir', None):
+            return
         path = os.environ.get(
             'TORBI_TPU_COMPILATION_CACHE',
             os.path.join(

@@ -104,6 +104,21 @@ def from_probabilities(
             The decoded bin indices
             shape=(batch, frames)
     """
+    # Decode (block_until_ready so the timer measures real device work)
+    with time.context('torbi'):
+        indices = _dispatch_decode(
+            observation, batch_frames, transition, initial, log_probs, gpu,
+            num_threads, backend)
+        indices = jax.block_until_ready(indices)
+
+    return indices
+
+
+def _dispatch_decode(observation, batch_frames, transition, initial,
+                     log_probs, gpu, num_threads, backend):
+    """Prepare inputs and dispatch the decode WITHOUT waiting for the
+    result (JAX dispatch is asynchronous); from_dataloader uses this to
+    overlap device compute with host saves."""
     observation = to_jax(observation, jnp.float32)
     batch, frames, states = observation.shape
     device = _device(gpu)
@@ -136,19 +151,14 @@ def from_probabilities(
     # Add epsilon for stability (reference core.py:193-197: exp, +tiny, log)
     observation = jnp.log(jnp.exp(observation) + FP32_TINY)
 
-    # Decode (block_until_ready so the timer measures real device work)
-    with time.context('torbi'):
-        indices = viterbi.decode(
-            observation,
-            batch_frames,
-            transition,
-            initial,
-            num_threads=num_threads,
-            backend=backend,
-            finite_observation=True)
-        indices = jax.block_until_ready(indices)
-
-    return indices
+    return viterbi.decode(
+        observation,
+        batch_frames,
+        transition,
+        initial,
+        num_threads=num_threads,
+        backend=backend,
+        finite_observation=True)
 
 
 def from_file(
@@ -327,6 +337,10 @@ def from_dataloader(
                 save_masked(row, filename, int(frames))
         bar.update(len(filenames))
 
+    # The decode is dispatched asynchronously; flushing the PREVIOUS batch
+    # (np.asarray is the sync point) then overlaps its host fetch/writes
+    # with the current batch's device compute. The 'torbi' timing context
+    # still brackets dispatch-to-sync, so aggregated timing stays honest.
     pending = None
     for (
         observation,
@@ -335,17 +349,13 @@ def from_dataloader(
         input_filenames,
     ) in dataloader:
 
-        indices = from_probabilities(
-            observation=observation,
-            batch_frames=batch_frames,
-            transition=transition,
-            initial=initial,
-            log_probs=log_probs,
-            gpu=gpu,
-            num_threads=num_threads)
+        with time.context('torbi'):
+            indices = _dispatch_decode(
+                observation, batch_frames, transition, initial, log_probs,
+                gpu, num_threads, None)
+            if pending is not None:
+                flush(pending)
 
-        if pending is not None:
-            flush(pending)
         pending = (
             indices,
             batch_frames,
@@ -353,7 +363,8 @@ def from_dataloader(
             [output_files[str(file)] for file in input_filenames])
 
     if pending is not None:
-        flush(pending)
+        with time.context('torbi'):
+            flush(pending)
     bar.close()
 
 

@@ -54,14 +54,21 @@ def _pick_tiles(batch, frames, states_padded):
     elif frames <= 128 and frames % 8 == 0:
         frame_tile = frames  # single frame tile: no boundary reads at all
     else:
-        raise ValueError(f'frames={frames} not a multiple of 8')
+        raise ValueError(
+            f'backtrace_posteriors requires frames to be a multiple of 128, '
+            f'or at most 128 and a multiple of 8 (the TPU output-block lane '
+            f'tiling); got frames={frames}. The dispatch pipeline '
+            f'guarantees this via FRAME_BUCKETS.')
     budget = 72 * 1024 * 1024  # leave room for the resident transition
     for batch_tile in (64, 32, 16, 8):
         if batch % batch_tile:
             continue
         if 2 * batch_tile * frame_tile * states_padded * 4 <= budget:
             return batch_tile, frame_tile
-    raise ValueError(f'batch={batch} not a multiple of 8')
+    raise ValueError(
+        f'no batch tile fits: batch={batch} must be a multiple of 8 and '
+        f'an (8, {frame_tile}, {states_padded}) float32 double-buffered '
+        f'block must fit the VMEM budget')
 
 
 def _backtrace_kernel(

@@ -72,9 +72,40 @@ def _band_stats(transition):
     return floor, lo, hi, n_above
 
 
-# Detection results cached per live transition array (keyed by buffer
-# identity); detection costs a host sync per call otherwise
+# Detection and gating results cached per live jax array (keyed by object
+# identity -- jax arrays are immutable, so identity implies content; a host
+# sync per decode call otherwise). Mutable numpy inputs are never cached:
+# their stats are computed directly in numpy instead.
 _detect_cache = {}
+_initial_gate_cache = {}
+
+
+def _identity_cached(cache, array, compute, extra_key=()):
+    """Cache `compute()` per live immutable jax array.
+
+    The stored weakref (or a strong closure when weakrefs are unsupported)
+    proves the id was not recycled. numpy and other mutable inputs bypass
+    the cache entirely.
+    """
+    import weakref
+
+    if not isinstance(array, jax.Array):
+        return compute()
+    cache_key = (id(array), tuple(array.shape), extra_key)
+    if cache_key in cache:
+        result, ref = cache[cache_key]
+        if ref() is array:
+            return result
+        del cache[cache_key]
+    result = compute()
+    if len(cache) > 64:
+        cache.clear()
+    try:
+        ref = weakref.ref(array)
+    except TypeError:
+        ref = lambda: array
+    cache[cache_key] = (result, ref)
+    return result
 
 
 def detect_band(transition, states_padded=None):
@@ -86,26 +117,31 @@ def detect_band(transition, states_padded=None):
     None (exterior is -inf) or a finite python float (exterior is exactly
     constant), or None when the banded kernels do not apply.
     """
-    import weakref
+    import numpy as np
 
     import torbi_tpu
 
     del states_padded
-    # Keyed by object identity; the stored weakref proves the id was not
-    # recycled. (unsafe_buffer_pointer is unavailable on some platforms.)
-    cache_key = (id(transition), tuple(transition.shape))
-    if cache_key is not None and cache_key in _detect_cache:
-        result, ref = _detect_cache[cache_key]
-        if ref() is transition:
-            return result
-        del _detect_cache[cache_key]
-
     states = transition.shape[0]
-    # Exterior entries (outside [lo, hi]) must all equal the floor exactly;
-    # since floor is the global min and `above` is defined by > floor, no
-    # above-floor entry lies outside [lo, hi] by construction, and exterior
-    # entries are both <= floor (it is the min) and >= floor, i.e. == floor.
-    floor, lo, hi, n_above = jax.device_get(_band_stats(transition))
+
+    def stats():
+        # Exterior entries (outside [lo, hi]) must all equal the floor
+        # exactly; since floor is the global min and `above` is defined by
+        # > floor, no above-floor entry lies outside [lo, hi] by
+        # construction, and exterior entries are both <= floor (it is the
+        # min) and >= floor, i.e. == floor.
+        if isinstance(transition, np.ndarray):
+            floor = transition.min()
+            rows, cols = np.nonzero(transition > floor)
+            d = cols.astype(np.int64) - rows.astype(np.int64)
+            n_above = d.size
+            lo = d.min() if n_above else 0
+            hi = d.max() if n_above else 0
+            return floor, lo, hi, n_above
+        return jax.device_get(_band_stats(transition))
+
+    floor, lo, hi, n_above = _identity_cached(
+        _detect_cache, transition, stats)
 
     result = None
     if n_above > 0:
@@ -113,23 +149,26 @@ def detect_band(transition, states_padded=None):
         width = hi - lo + 1
         floor = float(floor)
         if width <= torbi_tpu.BAND_MAX_FRACTION * states:
-            import numpy as np
             if floor == NEG_INF:
                 result = (lo, width, None)
             elif np.isfinite(floor):
                 result = (lo, width, floor)
-
-    if cache_key is not None:
-        if len(_detect_cache) > 64:
-            _detect_cache.clear()
-        # Hold a weakref so a GC'd buffer cannot alias a new array at the
-        # same id/pointer
-        try:
-            ref = weakref.ref(transition)
-        except TypeError:
-            ref = lambda: transition
-        _detect_cache[cache_key] = (result, ref)
     return result
+
+
+def _initial_finite_ok(initial, need_all):
+    import numpy as np
+
+    if isinstance(initial, np.ndarray):
+        finite = np.isfinite(initial)
+        return bool(finite.all() if need_all else finite.any())
+
+    def compute():
+        finite = jnp.isfinite(initial)
+        return bool(finite.all() if need_all else finite.any())
+
+    return _identity_cached(
+        _initial_gate_cache, initial, compute, extra_key=bool(need_all))
 
 
 def gate_band(band, initial, observation=None, finite_observation=False):
@@ -140,16 +179,14 @@ def gate_band(band, initial, observation=None, finite_observation=False):
     - constant floor: at least one finite initial entry
     - both: finite observation (``finite_observation=True`` asserts it
       without scanning -- true for from_probabilities' epsilon pipeline)
+
+    The initial-distribution check is cached per live jax array; the
+    observation check is per call (data-dependent) unless asserted away.
     """
     if band is None:
         return None
-    floor = band[2]
-    if floor is None:
-        if not bool(jnp.isfinite(initial).all()):
-            return None
-    else:
-        if not bool(jnp.isfinite(initial).any()):
-            return None
+    if not _initial_finite_ok(initial, need_all=band[2] is None):
+        return None
     if not finite_observation and observation is not None:
         if not bool(jnp.isfinite(observation).all()):
             return None
@@ -255,11 +292,11 @@ def _band_kernel(
             postseq_ref[:, k, :] = post_ref[...]
 
 
-def _gate_pad(width):
-    """Lane padding of the gated kernel's posterior scratch; must cover
-    |lo| (< width) plus the aligned-window slack: the last unit's window
-    ends at most width + 255 lanes past the posterior"""
-    return _round_up(width + 256, 128)
+def _gate_pad(width, lo):
+    """Lane padding of the gated kernel's posterior scratch: must cover the
+    leftmost source (pad >= -lo), and the last unit's aligned window end
+    (pad >= lo + width + 255 when lo > 0)"""
+    return _round_up(width + abs(lo) + 256, 128)
 
 
 def _pick_gate_unit(states_padded):
@@ -305,7 +342,7 @@ def _band_kernel_gated(
     unit = _pick_gate_unit(states_padded)
     n_units = states_padded // unit
     shift0 = (-lo) % states_padded
-    pad = _gate_pad(width)
+    pad = _gate_pad(width, lo)
     # Tail source window per unit: statically 128-aligned (Mosaic requires
     # provably aligned lane indices), wide enough for every tail offset
     win_w = _round_up(unit + 128 + width, 128)
@@ -519,7 +556,7 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         scratch_shapes=(
             [
                 pltpu.VMEM(
-                    (BATCH_TILE, 2 * _gate_pad(width) + states_padded),
+                    (BATCH_TILE, 2 * _gate_pad(width, lo) + states_padded),
                     jnp.float32),
                 pltpu.VMEM((BATCH_TILE, states_padded), jnp.float32),
             ] if gated else []),

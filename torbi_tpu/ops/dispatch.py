@@ -16,7 +16,6 @@ only host-synchronizing steps and are cached per input buffer, so the steady
 state per decode call is a single compiled-function dispatch.
 """
 import functools
-import weakref
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import torbi_tpu
 from . import band as band_ops
 from .backtrace import backtrace_posteriors
 from .pallas import viterbi_forward_pallas
-from .scan import decode_xla, viterbi_backtrace
+from .scan import decode_xla
 
 NEG_INF = float('-inf')
 
@@ -53,49 +52,21 @@ def resolve_backend(backend=None):
     return backend
 
 
-# Cached per-buffer results of the initial-distribution finiteness gate
-# (a host sync each otherwise; keyed like band.detect_band's cache)
-_initial_gate_cache = {}
-
-
-def _initial_ok(initial, need_all):
-    # Keyed by object identity; the stored weakref proves the id was not
-    # recycled. (unsafe_buffer_pointer is unavailable on some platforms.)
-    cache_key = (id(initial), bool(need_all))
-    if cache_key is not None and cache_key in _initial_gate_cache:
-        ok, ref = _initial_gate_cache[cache_key]
-        if ref() is initial:
-            return ok
-        del _initial_gate_cache[cache_key]
-    finite = jnp.isfinite(initial)
-    ok = bool(finite.all() if need_all else finite.any())
-    if cache_key is not None:
-        if len(_initial_gate_cache) > 64:
-            _initial_gate_cache.clear()
-        try:
-            ref = weakref.ref(initial)
-        except TypeError:
-            ref = lambda: initial
-        _initial_gate_cache[cache_key] = (ok, ref)
-    return ok
-
-
-def _gated_band(transition, initial, observation, finite_observation):
-    """detect_band + exactness gating (band.py docstring), host syncs cached"""
-    band = band_ops.detect_band(transition)
-    if band is None:
-        return None
-    if not _initial_ok(initial, need_all=band[2] is None):
-        return None
-    if not finite_observation:
-        if not bool(jnp.isfinite(observation).all()):
-            return None
-    return band
+def _config_key():
+    """Config values the staged pipeline reads at trace time; part of the
+    build cache key so config changes are not silently ignored"""
+    return (
+        tuple(torbi_tpu.FRAME_BUCKETS),
+        torbi_tpu.BATCH_PAD_MULTIPLE,
+        torbi_tpu.BAND_TAIL_GATING,
+        torbi_tpu.BAND_CORE_WIDTH,
+    )
 
 
 @functools.lru_cache(maxsize=128)
-def _build_decode(batch, frames, states, band, interpret):
+def _build_decode(batch, frames, states, band, interpret, config_key):
     """Stage the full padded decode pipeline as one jitted function"""
+    del config_key  # only disambiguates the cache entry
     frames_p = bucket_frames(frames)
     batch_p = _round_up(batch, torbi_tpu.BATCH_PAD_MULTIPLE)
     states_p = _round_up(states, 128)
@@ -161,11 +132,16 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     interpret = jax.default_backend() != 'tpu'
 
     # Banded fast path: bit-exact when the transition structure and
-    # finiteness preconditions allow it (band.py docstring)
+    # finiteness preconditions allow it (band.py docstring; detection and
+    # the initial-distribution gate are cached per live jax array)
     band = None
     if backend in ('pallas', 'band') and torbi_tpu.USE_BAND_KERNEL:
-        band = _gated_band(
-            transition, initial, observation, finite_observation)
+        band = band_ops.gate_band(
+            band_ops.detect_band(transition),
+            initial,
+            observation,
+            finite_observation)
 
-    fn = _build_decode(batch, frames, states, band, interpret)
+    fn = _build_decode(
+        batch, frames, states, band, interpret, _config_key())
     return fn(observation, batch_frames, transition, initial)
