@@ -8,10 +8,13 @@ from torbi_tpu.utils import io
 
 
 def test_collate_pads_and_records_frames():
+    from torbi_tpu.ops.dispatch import bucket_frames
+
     obs = [np.ones((5, 4), np.float32), np.ones((3, 4), np.float32)]
     batch = [(obs[0], 'a.pt'), (obs[1], 'b.pt')]
     observation, batch_frames, batch_chunks, files = collate(batch)
-    assert observation.shape == (2, 5, 4)
+    # Frames pad straight to the decode bucket boundary
+    assert observation.shape == (2, bucket_frames(5), 4)
     assert batch_frames.tolist() == [5, 3]
     assert batch_chunks == [1, 1]
     assert (observation[1, 3:] == 0).all()
@@ -23,13 +26,15 @@ def test_collate_chunked_and_separate():
     chunks_b = [np.full((3, 3), 3.0)]
     batch = [(chunks_a, 'a.pt'), (chunks_b, 'b.pt')]
     observation, batch_frames, batch_chunks, files = collate(batch)
-    assert observation.shape == (3, 4, 3)
+    from torbi_tpu.ops.dispatch import bucket_frames
+    padded_frames = bucket_frames(4)
+    assert observation.shape == (3, padded_frames, 3)
     assert batch_frames.tolist() == [4, 2, 3]
     assert batch_chunks == [2, 1]
 
     # Fake decoded indices: row index everywhere
     indices = np.tile(
-        np.arange(3)[:, None], (1, 4)).astype(np.int32)
+        np.arange(3)[:, None], (1, padded_frames)).astype(np.int32)
     joined = separate(indices, batch_chunks, batch_frames)
     assert len(joined) == 2
     np.testing.assert_array_equal(joined[0], [0, 0, 0, 0, 1, 1])
@@ -120,6 +125,7 @@ def test_loader_prefetch(tmp_path):
         batches = list(loader)
     finally:
         torbi_tpu.NUM_WORKERS, torbi_tpu.BATCH_SIZE = old_workers, old_batch
+    from torbi_tpu.ops.dispatch import bucket_frames
     assert len(batches) == 3
-    assert batches[0][0].shape == (2, 4, 3)
-    assert batches[2][0].shape == (1, 4, 3)
+    assert batches[0][0].shape == (2, bucket_frames(4), 3)
+    assert batches[2][0].shape == (1, bucket_frames(4), 3)

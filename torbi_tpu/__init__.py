@@ -53,7 +53,9 @@ def _enable_compilation_cache():
                 os.path.expanduser('~'), '.cache', 'torbi_tpu', 'xla'))
         os.makedirs(path, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', path)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # Persist even sub-second compiles: platforms that compile through
+        # a remote hop pay ~1s per tiny op program on every fresh process
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     except Exception:
         pass  # cache is an optimization only
 

@@ -1,8 +1,10 @@
 """Default configuration values.
 
-Mirrors the configuration surface of the reference implementation
-(/root/reference/torbi/config/defaults.py) so that a user of the reference
-can switch over without relearning knobs, plus TPU-specific settings.
+The knob NAMES mirror the reference implementation's configuration surface
+(/root/reference/torbi/config/defaults.py) so a user of the reference can
+switch over without relearning them; the TPU-backend section is new.
+Every constant here is promoted to a ``torbi_tpu.<NAME>`` attribute at
+import and may be overridden by a ``--config`` composition file.
 """
 from pathlib import Path
 
@@ -12,7 +14,7 @@ from pathlib import Path
 ###############################################################################
 
 
-# Configuration name (names the experiment; routes eval output dirs)
+# Experiment name; routes evaluation output directories and results files
 CONFIG = 'torbi_tpu'
 
 
@@ -21,19 +23,19 @@ CONFIG = 'torbi_tpu'
 ###############################################################################
 
 
-# Root location for saving outputs
+# Repository root (output artifacts live below it)
 ROOT_DIR = Path(__file__).parent.parent.parent
 
-# Location to save assets to be bundled with pip release
+# Package assets bundled with a pip release (partitions, cached stats)
 ASSETS_DIR = Path(__file__).parent.parent / 'assets'
 
-# Location of preprocessed features
+# Preprocessed posteriorgram cache
 CACHE_DIR = ROOT_DIR / 'data' / 'cache'
 
-# Location of datasets on disk
+# Raw downloaded datasets
 DATA_DIR = ROOT_DIR / 'data' / 'datasets'
 
-# Location to save evaluation artifacts
+# Evaluation artifacts (decoded outputs, results JSON)
 EVAL_DIR = ROOT_DIR / 'eval'
 
 
@@ -42,12 +44,12 @@ EVAL_DIR = ROOT_DIR / 'eval'
 ###############################################################################
 
 
-# When set to a positive integer, enables chunking for long sequences by
-# splitting sequences at low-entropy frames
-# (reference: torbi/config/defaults.py:41)
+# Entropy chunking of long sequences: when set to a positive integer,
+# sequences split at adjacent low-entropy frame pairs at least this many
+# frames apart, and chunks decode as independent batch rows. None disables.
 MIN_CHUNK_SIZE = None
 
-# Threshold below which to split the sequence when performing chunked decoding
+# Normalized-entropy cutoff for choosing split points
 ENTROPY_THRESHOLD = 0.5
 
 
@@ -99,25 +101,26 @@ USE_NATIVE_LOADER = True
 ###############################################################################
 
 
-# Otherwise compare against self with no chunking
+# Score against the librosa reference decoder; when False, score chunked
+# decoding against this framework's own unchunked output instead
 COMPARE_WITH_REFERENCE = True
 
-# Names of all datasets
+# Evaluation corpora
 DATASETS = ['daps', 'vctk']
 
-# Number of randomly-selected samples to evaluate
+# Cap on randomly-sampled stems per dataset partition
 EVALUATION_SAMPLES = 8192
 
-# Thresholds (in number of 5 cent bins) for raw pitch accuracy evaluation
+# Raw-pitch-accuracy tolerance levels, in 5-cent pitch bins
 PITCH_ERROR_THRESHOLDS = [0, 1, 2]
 
-# File for caching transition matrix for pitch decoding evaluation
+# On-disk cache of the band-diagonal pitch transition matrix
 PITCH_TRANSITION_MATRIX = ASSETS_DIR / 'stats' / 'transition.pt'
 
-# Audio sampling rate
+# Audio sampling rate of the evaluation corpora
 SAMPLE_RATE = 16000
 
-# Seed for all random number generators
+# Seed shared by all random number generators
 RANDOM_SEED = 1234
 
 
@@ -126,10 +129,10 @@ RANDOM_SEED = 1234
 ###############################################################################
 
 
-# Batch size
+# Sequences decoded per device batch
 BATCH_SIZE = 512
 
-# Number of parallel CPU workers for data loading (threads, not processes)
+# Parallel data-loading workers (threads, not processes); 0 loads inline
 NUM_WORKERS = 0
 
 
@@ -138,5 +141,5 @@ NUM_WORKERS = 0
 ###############################################################################
 
 
-# Allows config files to detect if this module is being configured
+# Sentinel letting composition files detect an in-progress configure
 CONFIGURING = None

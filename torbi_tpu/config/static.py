@@ -1,14 +1,10 @@
-"""Derived configuration computed after user overrides are applied
+"""Configuration values derived AFTER user overrides are applied.
 
-(reference: torbi/config/static.py)
+These cannot live in defaults.py because they depend on constants a
+--config composition file may have replaced (reference parity:
+torbi/config/static.py).
 """
 import torbi_tpu
 
-
-###############################################################################
-# Directories
-###############################################################################
-
-
-# Location to save dataset partitions
+# Partition JSONs ship inside the package assets
 PARTITION_DIR = torbi_tpu.ASSETS_DIR / 'partitions'

@@ -144,13 +144,9 @@ def _dispatch_decode(observation, batch_frames, transition, initial,
     else:
         transition = _prepare_log(transition, log_probs)
 
-    # Ensure observation probabilities are in log space
-    if not log_probs:
-        observation = jnp.log(observation)
-
-    # Add epsilon for stability (reference core.py:193-197: exp, +tiny, log)
-    observation = jnp.log(jnp.exp(observation) + FP32_TINY)
-
+    # The log conversion and the reference's stability epsilon (reference
+    # core.py:193-197: exp, +tiny, log) fold into the staged device
+    # program -- per batch this path costs one transfer and one dispatch
     return viterbi.decode(
         observation,
         batch_frames,
@@ -158,7 +154,8 @@ def _dispatch_decode(observation, batch_frames, transition, initial,
         initial,
         num_threads=num_threads,
         backend=backend,
-        finite_observation=True)
+        log_input=bool(log_probs),
+        apply_epsilon=True)
 
 
 def from_file(

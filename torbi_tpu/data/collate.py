@@ -1,49 +1,58 @@
-"""Batch collation and chunk re-joining (reference: torbi/data/collate.py)."""
+"""Batch collation and chunk re-joining.
+
+Semantics match the reference collate (torbi/data/collate.py:9-45): chunked
+items (one list of sub-arrays per file) flatten into extra batch rows whose
+per-file counts are recorded so ``separate`` can stitch the decoded rows
+back together, and observations zero-pad to the longest item with true
+lengths in ``batch_frames``.
+"""
+import itertools
+
 import numpy as np
+
+
+def _flatten(observations):
+    """Flatten per-file chunk lists into rows + per-file chunk counts"""
+    if not isinstance(observations[0], list):
+        return list(observations), [1] * len(observations)
+    counts = [len(chunks) for chunks in observations]
+    return list(itertools.chain.from_iterable(observations)), counts
 
 
 def collate(batch):
     """Collate (observation, input_file) items into a padded batch.
 
-    Chunked items (lists of arrays) are flattened into extra batch rows with
-    per-file chunk counts recorded in batch_chunks (reference collate.py:9-33).
+    Returns (observation (rows, frames, states), batch_frames (rows,)
+    int32, batch_chunks per file, input_files). The frame dimension pads
+    straight to the decode pipeline's bucket boundary: odd frame counts
+    would otherwise force a device-side relayout on every host-to-device
+    transfer and a fresh compile per distinct batch shape.
     """
+    from ..ops.dispatch import bucket_frames
+
     observations, input_files = zip(*batch)
-
-    # Handle chunking
-    if isinstance(observations[0], list):
-        batch_chunks = [len(obs) for obs in observations]
-        observations = sum(observations, [])
-    else:
-        batch_chunks = [1] * len(observations)
-    batch_frames = np.array(
-        [obs.shape[0] for obs in observations], dtype=np.int32)
-
-    size = len(observations)
-    if size == 0:
+    rows, batch_chunks = _flatten(observations)
+    if not rows:
         raise ValueError('batch must contain at least 1 item')
 
-    max_frames = max(obs.shape[0] for obs in observations)
+    lengths = np.array([row.shape[0] for row in rows], dtype=np.int32)
+    states = rows[0].shape[-1]
+    padded = np.zeros(
+        (len(rows), bucket_frames(int(lengths.max())), states),
+        dtype=np.asarray(rows[0]).dtype)
+    for row, out, n in zip(rows, padded, lengths):
+        out[:n] = row
 
-    observation = np.zeros(
-        (size, max_frames, observations[0].shape[-1]),
-        dtype=np.asarray(observations[0]).dtype)
-    for i, obs in enumerate(observations):
-        observation[i, :obs.shape[0]] = obs
-
-    return observation, batch_frames, batch_chunks, input_files
+    return padded, lengths, batch_chunks, input_files
 
 
 def separate(indices, batch_chunks, batch_frames):
     """Re-concatenate decoded chunk rows into per-file sequences"""
     indices = np.asarray(indices)
-    batch_frames = np.asarray(batch_frames)
-    start = 0
-    separated = []
-    for chunks in batch_chunks:
-        frames = batch_frames[start:start + chunks]
-        separated.append(
-            np.concatenate([
-                indices[start + i, :frames[i]] for i in range(chunks)]))
-        start += chunks
-    return separated
+    lengths = np.asarray(batch_frames)
+    bounds = np.cumsum([0] + list(batch_chunks))
+    return [
+        np.concatenate([
+            indices[row, :lengths[row]]
+            for row in range(lo, hi)])
+        for lo, hi in zip(bounds[:-1], bounds[1:])]

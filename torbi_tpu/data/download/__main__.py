@@ -1,15 +1,15 @@
+"""CLI: download evaluation corpora (same flags as the reference)."""
 import torbi_tpu
 from torbi_tpu.config import ArgumentParser
 
 
 def parse_args():
-    """Parse command-line arguments"""
     parser = ArgumentParser(description='Download datasets')
     parser.add_argument(
         '--datasets',
         default=torbi_tpu.DATASETS,
         nargs='+',
-        help='The datasets to download')
+        help='Corpora to fetch (daps, vctk)')
     return parser.parse_args()
 
 

@@ -56,22 +56,6 @@ def _round_up(value, multiple):
     return ((value + multiple - 1) // multiple) * multiple
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _band_stats(transition):
-    """Fused device-side band statistics: (floor, lo, hi, n_above)"""
-    states = transition.shape[0]
-    floor = jnp.min(transition)
-    above = transition > floor
-    n_above = jnp.sum(above)
-    rows = jnp.arange(states)[:, None]
-    cols = jnp.arange(states)[None, :]
-    d = cols - rows
-    big = 2 * states
-    lo = jnp.min(jnp.where(above, d, big))
-    hi = jnp.max(jnp.where(above, d, -big))
-    return floor, lo, hi, n_above
-
-
 # Detection and gating results cached per live jax array (keyed by object
 # identity -- jax arrays are immutable, so identity implies content; a host
 # sync per decode call otherwise). Mutable numpy inputs are never cached:
@@ -129,16 +113,17 @@ def detect_band(transition, states_padded=None):
         # exactly; since floor is the global min and `above` is defined by
         # > floor, no above-floor entry lies outside [lo, hi] by
         # construction, and exterior entries are both <= floor (it is the
-        # min) and >= floor, i.e. == floor.
-        if isinstance(transition, np.ndarray):
-            floor = transition.min()
-            rows, cols = np.nonzero(transition > floor)
-            d = cols.astype(np.int64) - rows.astype(np.int64)
-            n_above = d.size
-            lo = d.min() if n_above else 0
-            hi = d.max() if n_above else 0
-            return floor, lo, hi, n_above
-        return jax.device_get(_band_stats(transition))
+        # min) and >= floor, i.e. == floor. Computed on the host: one D2H
+        # of the matrix is orders of magnitude cheaper than compiling and
+        # synchronizing a device reduction for a one-time detection.
+        host = np.asarray(transition)
+        floor = host.min()
+        rows, cols = np.nonzero(host > floor)
+        d = cols.astype(np.int64) - rows.astype(np.int64)
+        n_above = d.size
+        lo = d.min() if n_above else 0
+        hi = d.max() if n_above else 0
+        return floor, lo, hi, n_above
 
     floor, lo, hi, n_above = _identity_cached(
         _detect_cache, transition, stats)

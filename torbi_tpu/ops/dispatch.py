@@ -44,6 +44,19 @@ def bucket_frames(frames):
     return _round_up(frames, largest)
 
 
+def bucket_batch(batch):
+    """Pad a batch size up to the next power of two (>= the pad multiple).
+
+    Stray batch sizes -- e.g. the final partial batch of a file workload --
+    would otherwise each stage and compile their own pipeline.
+    """
+    floor = max(int(torbi_tpu.BATCH_PAD_MULTIPLE), 8)
+    bucket = floor
+    while bucket < batch:
+        bucket *= 2
+    return bucket
+
+
 def resolve_backend(backend=None):
     """Resolve 'auto' to a concrete backend for the current platform"""
     backend = backend or torbi_tpu.BACKEND
@@ -64,27 +77,33 @@ def _config_key():
 
 
 @functools.lru_cache(maxsize=128)
-def _build_decode(batch, frames, states, band, interpret, config_key):
-    """Stage the full padded decode pipeline as one jitted function"""
+def _build_decode(batch_p, frames_p, states, band, interpret, log_input,
+                  apply_epsilon, config_key):
+    """Stage the decode pipeline for one (bucketed batch, bucketed frames)
+    shape as a single jitted function.
+
+    Keyed on the BUCKETED shapes only: the raw-shape pads and the final
+    slice live outside (cheap per-shape XLA ops), so a stray batch size --
+    e.g. a file workload's final partial batch -- reuses the expensive
+    kernel compilation of its bucket. The log conversion and epsilon
+    stabilization fold into the same program: per-batch work is one
+    host-to-device transfer, one executable dispatch, one result fetch.
+    """
     del config_key  # only disambiguates the cache entry
-    frames_p = bucket_frames(frames)
-    batch_p = _round_up(batch, torbi_tpu.BATCH_PAD_MULTIPLE)
     states_p = _round_up(states, 128)
 
     @jax.jit
     def run(observation, batch_frames, transition, initial):
-        # The state dimension stays unpadded: the forward kernels lane-pad
-        # observation columns in-register, saving a full-size XLA pad copy
-        obs = jnp.pad(
-            observation,
-            ((0, batch_p - batch),
-             (0, frames_p - frames),
-             (0, 0)),
-            constant_values=NEG_INF)
-        bf = jnp.pad(
-            batch_frames.astype(jnp.int32),
-            (0, batch_p - batch),
-            constant_values=1)
+        obs = observation
+        if not log_input:
+            obs = jnp.log(obs)
+        if apply_epsilon:
+            # Reference stability epsilon (torbi/core.py:193-197)
+            obs = jnp.log(jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
+
+        # The observation state dimension stays unpadded: the forward
+        # kernels lane-pad its columns in-register, saving a full-size XLA
+        # pad copy of the largest input
         trans = jnp.pad(
             transition,
             ((0, states_p - states), (0, states_p - states)),
@@ -94,54 +113,95 @@ def _build_decode(batch, frames, states, band, interpret, config_key):
 
         if band is not None:
             post_seq, posterior = band_ops.viterbi_forward_band(
-                obs, bf, trans, init, band, interpret=interpret)
+                obs, batch_frames, trans, init, band, interpret=interpret)
         else:
             post_seq, posterior = viterbi_forward_pallas(
-                obs, bf, trans, init, interpret=interpret)
-        indices = backtrace_posteriors(
-            post_seq, trans, posterior, bf, interpret=interpret)
-        return indices[:batch, :frames]
+                obs, batch_frames, trans, init, interpret=interpret)
+        return backtrace_posteriors(
+            post_seq, trans, posterior, batch_frames, interpret=interpret)
 
     return run
 
 
 def decode(observation, batch_frames, transition, initial, backend=None,
-           finite_observation=False):
+           finite_observation=False, log_input=True, apply_epsilon=False):
     """Decode log-space inputs. All arguments are jax arrays.
 
-    observation: (batch, frames, states) float32 log-probs
+    observation: (batch, frames, states) float32 log-probs (probabilities
+        when ``log_input=False``; the conversion then runs on device)
     batch_frames: (batch,) int32
     transition: (states, states) float32 log-probs (row = destination)
     initial: (states,) float32 log-probs
+    apply_epsilon: fold the reference's exp/+tiny/log stabilization into
+        the staged device program (its output is always finite for finite
+        or -inf inputs, so it implies ``finite_observation``)
 
     Returns (batch, frames) int32 decoded state indices.
     """
     backend = resolve_backend(backend)
     batch, frames, states = observation.shape
+    if apply_epsilon:
+        finite_observation = True
 
     if backend == 'xla':
-        return decode_xla(observation, batch_frames, transition, initial)
+        obs = observation
+        if not log_input:
+            obs = jnp.log(obs)
+        if apply_epsilon:
+            obs = jnp.log(
+                jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
+        return decode_xla(obs, batch_frames, transition, initial)
 
     if backend == 'lse':
         # MXU-accelerated approximate mode (see ops/lse.py)
         from .lse import decode_lse
+        obs = observation
+        if not log_input:
+            obs = jnp.log(obs)
+        if apply_epsilon:
+            obs = jnp.log(
+                jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
         return decode_lse(
-            observation, batch_frames, transition, initial,
+            obs, batch_frames, transition, initial,
             beta=torbi_tpu.LSE_BETA)
 
     interpret = jax.default_backend() != 'tpu'
 
     # Banded fast path: bit-exact when the transition structure and
     # finiteness preconditions allow it (band.py docstring; detection and
-    # the initial-distribution gate are cached per live jax array)
+    # the initial-distribution gate are cached per live jax array). The
+    # finiteness precondition applies to the observation AS THE KERNEL SEES
+    # IT -- after any on-device log conversion.
     band = None
     if backend in ('pallas', 'band') and torbi_tpu.USE_BAND_KERNEL:
         band = band_ops.gate_band(
-            band_ops.detect_band(transition),
-            initial,
+            band_ops.detect_band(transition), initial,
+            observation=None, finite_observation=True)
+        if band is not None and not finite_observation:
+            finite = jnp.isfinite(observation)
+            if not log_input:
+                finite = finite & (observation > 0)
+            if not bool(finite.all()):
+                band = None
+
+    batch_p = bucket_batch(batch)
+    frames_p = bucket_frames(frames)
+    if batch_p == batch and frames_p == frames:
+        obs, bf = observation, batch_frames
+    else:
+        obs = jnp.pad(
             observation,
-            finite_observation)
+            ((0, batch_p - batch), (0, frames_p - frames), (0, 0)),
+            constant_values=NEG_INF)
+        bf = jnp.pad(
+            jnp.asarray(batch_frames).astype(jnp.int32),
+            (0, batch_p - batch),
+            constant_values=1)
 
     fn = _build_decode(
-        batch, frames, states, band, interpret, _config_key())
-    return fn(observation, batch_frames, transition, initial)
+        batch_p, frames_p, states, band, interpret, log_input,
+        apply_epsilon, _config_key())
+    indices = fn(obs, bf, transition, initial)
+    if batch_p == batch and frames_p == frames:
+        return indices
+    return indices[:batch, :frames]

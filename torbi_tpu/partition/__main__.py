@@ -1,15 +1,15 @@
+"""CLI: build evaluation partitions (same flags as the reference)."""
 import torbi_tpu
 from torbi_tpu.config import ArgumentParser
 
 
 def parse_args():
-    """Parse command-line arguments"""
     parser = ArgumentParser(description='Partition datasets')
     parser.add_argument(
         '--datasets',
         default=torbi_tpu.DATASETS,
         nargs='+',
-        help='The datasets to partition')
+        help='Corpora to sample evaluation partitions from')
     return parser.parse_args()
 
 

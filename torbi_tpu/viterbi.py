@@ -21,47 +21,23 @@ def decode(
         initial,
         num_threads: int = 0,
         backend: Optional[str] = None,
-        finite_observation: bool = False):
-    """Decode a time-varying categorical distribution
+        finite_observation: bool = False,
+        log_input: bool = True,
+        apply_epsilon: bool = False):
+    """Maximum-likelihood state decoding of log-space inputs.
 
-    Args:
-        observation: :math:`(N, T, S)`
-            where `S = the number of states`,
-            `T = the length of the sequence`,
-            and `N = batch size`.
-            Time-varying categorical distribution in log space
-        batch_frames :math:`(N)`
-            Sequence length of each batch item
-        transition :math:`(S, S)`
-            Categorical transition matrix in log space; row j is the
-            destination state, column i the source
-        initial :math:`(S)`
-            Categorical initial distribution in log space
-        num_threads
-            Unused on TPU; accepted for reference API compatibility
-        backend
-            Optional override: 'pallas', 'xla', or None for configured default
+    All inputs are log-probabilities. ``observation`` is (batch, frames,
+    states) -- a single (frames, states) sequence is auto-promoted --
+    ``batch_frames`` is (batch,) valid frame counts, ``transition`` is
+    (states, states) with row = destination and column = source, and
+    ``initial`` is (states,). ``num_threads`` exists only for reference API
+    compatibility (the TPU analog of the reference's CPU thread count is
+    XLA's own runtime pool). ``backend`` optionally forces 'pallas' or
+    'xla' instead of the configured default; ``finite_observation=True``
+    asserts that no observation entry is -inf/NaN, which lets the band
+    dispatcher skip a full data scan.
 
-    Return:
-        indices: :math:`(N, T)`
-            The decoded bin indices (int32 jax array)
-
-    Example::
-
-            >>> import jax.numpy as jnp
-            >>> observation = jnp.log(jnp.array([[
-            ...     [0.25, 0.5, 0.25],
-            ...     [0.25, 0.25, 0.5],
-            ...     [0.33, 0.33, 0.33]
-            ... ]]))
-            >>> batch_frames = jnp.array([3])
-            >>> transition = jnp.log(jnp.array([
-            ...     [0.5, 0.25, 0.25],
-            ...     [0.33, 0.34, 0.33],
-            ...     [0.25, 0.25, 0.5]
-            ... ]))
-            >>> initial = jnp.log(jnp.array([0.4, 0.35, 0.25]))
-            >>> bins = decode(observation, batch_frames, transition, initial)
+    Returns (batch, frames) int32 decoded state indices.
     """
     del num_threads
     observation = to_jax(observation, jnp.float32)
@@ -76,4 +52,6 @@ def decode(
         transition,
         initial,
         backend=backend,
-        finite_observation=finite_observation)
+        finite_observation=finite_observation,
+        log_input=log_input,
+        apply_epsilon=apply_epsilon)
