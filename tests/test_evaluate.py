@@ -79,3 +79,47 @@ def test_evaluate_datasets_synthetic(tmp_path, monkeypatch):
     # reference pass (reference evaluate/core.py:69-75)
     results2 = torbi_tpu.evaluate.datasets([dataset], num_threads=1)
     assert results2[dataset]['rpa']['0'] == pytest.approx(1.0)
+
+
+def test_evaluate_chunked_self_consistency(tmp_path, monkeypatch):
+    """COMPARE_WITH_REFERENCE=False scores chunked decoding against this
+    framework's own unchunked output (reference evaluate/core.py:77-82) --
+    entropy chunking on near-deterministic stretches should preserve the
+    decoded path"""
+    dataset = 'synth'
+    rng = np.random.default_rng(5)
+
+    cache = tmp_path / 'cache' / dataset
+    cache.mkdir(parents=True)
+    stems = []
+    for i in range(2):
+        stem = f'{i:06d}'
+        stems.append(stem)
+        torch.save(
+            torch.from_numpy(_synthetic_posteriorgram(rng, 48)),
+            cache / f'{stem}.pt')
+    partition_dir = tmp_path / 'partitions'
+    partition_dir.mkdir()
+    with open(partition_dir / f'{dataset}.json', 'w') as file:
+        json.dump(stems, file)
+
+    monkeypatch.setattr(torbi_tpu, 'CACHE_DIR', tmp_path / 'cache')
+    monkeypatch.setattr(torbi_tpu, 'EVAL_DIR', tmp_path / 'eval')
+    monkeypatch.setattr(torbi_tpu, 'PARTITION_DIR', partition_dir)
+    monkeypatch.setattr(
+        torbi_tpu, 'PITCH_TRANSITION_MATRIX',
+        tmp_path / 'stats' / 'transition.pt')
+
+    # Pass 1: unchunked decode under the default CONFIG produces the
+    # self-comparison baseline under eval/<dataset>/torbi_tpu/
+    monkeypatch.setattr(torbi_tpu, 'CONFIG', 'torbi_tpu')
+    monkeypatch.setattr(torbi_tpu, 'COMPARE_WITH_REFERENCE', False)
+    torbi_tpu.evaluate.datasets([dataset], num_threads=1)
+
+    # Pass 2: chunked decode under a different CONFIG, scored against it
+    monkeypatch.setattr(torbi_tpu, 'CONFIG', 'chunked')
+    monkeypatch.setattr(torbi_tpu, 'MIN_CHUNK_SIZE', 16)
+    results = torbi_tpu.evaluate.datasets([dataset], num_threads=1)
+
+    # Peaked synthetic data decodes identically with and without chunking
+    assert results[dataset]['rpa']['0'] == pytest.approx(1.0)
