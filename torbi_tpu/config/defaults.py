@@ -75,9 +75,10 @@ BAND_MAX_FRACTION = 0.5
 # over BAND_CORE_WIDTH central diagonal offsets, and execute the tail
 # offsets per 384-lane unit only when an exact upper bound says they could
 # matter (value-exact; see ops/band.py). Off by default: although ~80% of
-# unit-sides skip on peaked data, Mosaic lowers the dynamic-shift rotate in
-# the tail loop far too slowly on v5e for the skipping to pay off
-# (measured ~5x slower than the unconditional kernel at width 175).
+# unit-sides skip on peaked data, every per-unit source extraction Mosaic
+# offers -- dynamic-shift rotates and static unaligned lane slices alike --
+# lowers ~5x slower than the unconditional kernel's full-width rolls on
+# v5e, so the skipped work never pays for the extraction cost.
 BAND_TAIL_GATING = False
 BAND_CORE_WIDTH = 63
 

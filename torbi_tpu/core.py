@@ -311,15 +311,9 @@ def from_dataloader(
     """
     bar = progress.ProgressBar(torbi_tpu.CONFIG, len(dataloader.dataset))
 
-    def flush(pending):
-        """Materialize a finished batch and save per-file outputs.
-
-        Runs AFTER the next batch's decode has been dispatched, so the
-        device crunches batch N+1 while the host fetches and writes batch N
-        (JAX dispatch is asynchronous; np.asarray is the sync point).
-        """
-        indices, batch_frames, batch_chunks, filenames = pending
-        indices = np.asarray(indices)
+    def write(pending, indices):
+        """Save one materialized batch's per-file outputs"""
+        _, batch_frames, batch_chunks, filenames = pending
         if torbi_tpu.MIN_CHUNK_SIZE is not None:
             # Re-join chunk rows into per-file sequences
             separated = torbi_tpu.data.separate(
@@ -334,10 +328,10 @@ def from_dataloader(
                 save_masked(row, filename, int(frames))
         bar.update(len(filenames))
 
-    # The decode is dispatched asynchronously; flushing the PREVIOUS batch
-    # (np.asarray is the sync point) then overlaps its host fetch/writes
-    # with the current batch's device compute. The 'torbi' timing context
-    # still brackets dispatch-to-sync, so aggregated timing stays honest.
+    # The decode is dispatched asynchronously; fetching the PREVIOUS batch
+    # (np.asarray is the sync point) then overlaps with the current batch's
+    # device compute. The 'torbi' timing context brackets dispatch-to-sync
+    # -- true decode wall time -- while file writes stay outside it.
     pending = None
     for (
         observation,
@@ -350,9 +344,10 @@ def from_dataloader(
             indices = _dispatch_decode(
                 observation, batch_frames, transition, initial, log_probs,
                 gpu, num_threads, None)
-            if pending is not None:
-                flush(pending)
+            done = np.asarray(pending[0]) if pending is not None else None
 
+        if pending is not None:
+            write(pending, done)
         pending = (
             indices,
             batch_frames,
@@ -361,7 +356,8 @@ def from_dataloader(
 
     if pending is not None:
         with time.context('torbi'):
-            flush(pending)
+            done = np.asarray(pending[0])
+        write(pending, done)
     bar.close()
 
 

@@ -308,7 +308,8 @@ def _band_kernel_gated(
         lo,
         width,
         floor,
-        core_w):
+        core_w,
+        frame_tile):
     """Speculative core + gated tails (value-exact).
 
     The full in-band max runs only over the ``core_w`` central offsets.
@@ -328,9 +329,6 @@ def _band_kernel_gated(
     n_units = states_padded // unit
     shift0 = (-lo) % states_padded
     pad = _gate_pad(width, lo)
-    # Tail source window per unit: statically 128-aligned (Mosaic requires
-    # provably aligned lane indices), wide enough for every tail offset
-    win_w = _round_up(unit + 128 + width, 128)
 
     def obs_col(k):
         col = obs_ref[:, k, :]
@@ -367,8 +365,8 @@ def _band_kernel_gated(
         padpost_ref[...] = jnp.full(
             padpost_ref.shape, NEG_INF, jnp.float32)
 
-    for k in range(FRAME_TILE):
-        t = tb * FRAME_TILE + k
+    for k in range(frame_tile):
+        t = tb * frame_tile + k
 
         @pl.when(t == 0)
         def _init(k=k):
@@ -414,30 +412,19 @@ def _band_kernel_gated(
                     continue
                 for u in range(n_units):
                     base = u * unit
-                    # Aligned window covering sources for every tail offset
-                    # of this unit; the per-offset extraction is a
-                    # dynamic-shift rotate of the window (dynamic *slices*
-                    # must be provably 128-aligned; rotates need not be)
-                    ws = ((pad + base + lo) // 128) * 128
-                    delta = pad + base + lo - ws  # in [0, 128)
 
                     @pl.when(jnp.any(need[:, base:base + unit]))
-                    def _tail(base=base, d0=d0, d1=d1, ws=ws, delta=delta):
-                        win = padpost_ref[:, ws:ws + win_w]
-
-                        def body(d, acc):
-                            # rolled[j] = win[j + delta + d]; no wrap for
-                            # j < unit since delta + d + unit <= win_w
-                            rolled = pltpu.roll(
-                                win, (win_w - delta - d) % win_w, 1)
-                            src = rolled[:, :unit]
-                            brow = band_ref[
-                                pl.ds(d, 1), base:base + unit]
-                            return jnp.maximum(acc, src + brow)
-                        acc = lax.fori_loop(
-                            d0, d1, body,
-                            jnp.full(
-                                (BATCH_TILE, unit), NEG_INF, jnp.float32))
+                    def _tail(base=base, d0=d0, d1=d1):
+                        # Statically unrolled: static unaligned lane slices
+                        # of the padded posterior lower to cheap relayouts
+                        # (dynamic-shift rotates here proved ~5x slower)
+                        acc = None
+                        for d in range(d0, d1):
+                            off = pad + base + lo + d
+                            v = (
+                                padpost_ref[:, off:off + unit]
+                                + band_ref[d:d + 1, base:base + unit])
+                            acc = v if acc is None else jnp.maximum(acc, v)
                         m_ref[:, base:base + unit] = jnp.maximum(
                             m_ref[:, base:base + unit], acc)
 
@@ -464,9 +451,12 @@ def _build_cmax(band_matrix, c0, c1, width):
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         floor, core_w=None, interpret=False):
-    assert batch % BATCH_TILE == 0 and frames % FRAME_TILE == 0
     width_padded = _round_up(width, 8)
     gated = core_w is not None
+    # Blocks need a sublane-multiple frame tile; the gated kernel's
+    # statically-unrolled tails make its Mosaic program ~3x the ungated one
+    frame_tile = FRAME_TILE
+    assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
     if gated:
         kernel = functools.partial(
             _band_kernel_gated,
@@ -475,7 +465,8 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             lo=lo,
             width=width,
             floor=floor,
-            core_w=core_w)
+            core_w=core_w,
+            frame_tile=frame_tile)
     else:
         kernel = functools.partial(
             _band_kernel,
@@ -484,10 +475,10 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             lo=lo,
             width=width,
             floor=floor)
-    grid = (batch // BATCH_TILE, frames // FRAME_TILE)
+    grid = (batch // BATCH_TILE, frames // frame_tile)
     in_specs = [
         pl.BlockSpec(
-            (BATCH_TILE, FRAME_TILE, states_in),
+            (BATCH_TILE, frame_tile, states_in),
             lambda n, t: (n, t, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -511,7 +502,7 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                 memory_space=pltpu.VMEM))
     out_specs = [
         pl.BlockSpec(
-            (BATCH_TILE, FRAME_TILE, states_padded),
+            (BATCH_TILE, frame_tile, states_padded),
             lambda n, t: (n, t, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
