@@ -1,0 +1,93 @@
+"""Two-process multi-host test over jax.distributed (CPU).
+
+Validates the DCN scale-out story end-to-end (SURVEY.md section 2.4): two
+host processes initialize jax.distributed against a local coordinator,
+shard one file workload disjointly (length-aware), decode their shards, and
+the union of outputs matches the single-process oracle exactly.
+"""
+import json
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+WORKER = r'''
+import os, sys, json
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]))
+import torbi_tpu
+from torbi_tpu.parallel import files as pfiles
+
+spec = json.load(open(sys.argv[3]))
+pfiles.from_files_to_files(
+    spec['inputs'], spec['outputs'],
+    transition_file=spec['transition'], log_probs=True)
+print('WORKER_DONE', jax.process_index(), flush=True)
+'''
+
+
+def _free_port():
+    with socket.socket() as sock:
+        sock.bind(('127.0.0.1', 0))
+        return sock.getsockname()[1]
+
+
+def test_two_process_file_sharding(tmp_path):
+    rng = np.random.default_rng(21)
+    tiny = np.finfo(np.float32).tiny
+    states = 32
+
+    inputs, outputs, expected = [], [], {}
+    trans = rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+    tfile = tmp_path / 'trans.pt'
+    torch.save(torch.from_numpy(trans), tfile)
+
+    from torbi_tpu.ops import oracle
+    for i in range(6):
+        frames = int(rng.integers(4, 12))
+        obs = np.log(
+            rng.dirichlet(np.ones(states), size=frames).astype(np.float32)
+            + tiny)
+        path = tmp_path / f'{i}.pt'
+        torch.save(torch.from_numpy(obs), path)
+        inputs.append(str(path))
+        outputs.append(str(tmp_path / f'{i}_out.pt'))
+        # The CLI pipeline applies the epsilon to obs and log(p+tiny) to
+        # the transition file
+        obs_eps = np.log(np.exp(obs) + tiny)
+        init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+        expected[outputs[-1]] = oracle.viterbi_numpy(
+            obs_eps[None], np.array([frames], dtype=np.int32),
+            np.log(trans + tiny), init)[0]
+
+    spec = tmp_path / 'spec.json'
+    with open(spec, 'w') as file:
+        json.dump(
+            {'inputs': inputs, 'outputs': outputs,
+             'transition': str(tfile)}, file)
+
+    addr = f'127.0.0.1:{_free_port()}'
+    procs = [
+        subprocess.Popen(
+            [sys.executable, '-c', WORKER, addr, str(pid), str(spec)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    logs = [proc.communicate(timeout=240)[0] for proc in procs]
+    for proc, log in zip(procs, logs):
+        assert proc.returncode == 0, log[-2000:]
+        assert 'WORKER_DONE' in log
+
+    # The union of the two shards covers every file, exactly once, and
+    # matches the oracle
+    for out in outputs:
+        got = torch.load(out).numpy().ravel()
+        np.testing.assert_array_equal(got, expected[out])
