@@ -1,0 +1,97 @@
+"""Real-TPU checks; skipped automatically off-TPU.
+
+The CPU suite exercises the kernels in Pallas interpreter mode; these run
+the same bit-exactness contracts through the actual Mosaic lowering,
+including the headline 1440-state pitch configuration.
+
+Run on a TPU host with:
+    TORBI_TPU_TESTS_ON_TPU=1 python -m pytest tests/test_tpu.py -q
+(conftest.py forces the CPU backend unless that variable is set).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != 'tpu', reason='needs a real TPU backend')
+
+
+@requires_tpu
+def test_toy_decode_tpu():
+    import torch
+    import torbi_tpu
+
+    observation = torch.tensor([[
+        [0.25, 0.5, 0.25],
+        [0.25, 0.25, 0.5],
+        [0.33, 0.33, 0.33]]])
+    transition = torch.tensor([
+        [0.5, 0.25, 0.25],
+        [0.33, 0.34, 0.33],
+        [0.25, 0.25, 0.5]])
+    initial = torch.tensor([0.4, 0.35, 0.25])
+    bins = torbi_tpu.from_probabilities(
+        observation=observation,
+        transition=transition,
+        initial=initial,
+        log_probs=False)
+    assert np.asarray(bins).tolist() == [[1, 2, 2]]
+
+
+@requires_tpu
+def test_pitch_1440_states_matches_oracle():
+    """The headline benchmark configuration, bit-exact vs the oracle"""
+    from torbi_tpu.models import pitch
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode
+
+    rng = np.random.default_rng(3)
+    tiny = np.finfo(np.float32).tiny
+    batch, frames, states = 8, 64, 1440
+
+    centers = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(batch, frames)), axis=1) + 720,
+        0, states - 1)
+    bins = np.arange(states, dtype=np.float32)[None, None, :]
+    logits = -0.5 * (
+        (bins - centers[..., None].astype(np.float32)) / 2.5) ** 2
+    obs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+    obs = np.log(np.exp(obs.astype(np.float32)) + tiny)
+
+    trans = np.log(pitch.transition_matrix() + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+    bf[1] = 1
+    bf[2] = frames - 11
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+@requires_tpu
+def test_dense_random_matches_oracle_tpu():
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode
+
+    rng = np.random.default_rng(8)
+    tiny = np.finfo(np.float32).tiny
+    batch, frames, states = 4, 50, 96
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    trans = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.array([frames, frames - 7, 1, frames], dtype=np.int32)
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
