@@ -54,9 +54,11 @@ def test_native_loader_used_and_correct(tmp_path):
         torbi_tpu.BATCH_SIZE = old
     assert len(batches) == 2
     obs, frames, chunks, names = batches[0]
-    assert obs.shape == (3, 12, 7)
+    from torbi_tpu.ops.dispatch import bucket_frames
+    assert obs.shape == (3, bucket_frames(12), 7)
     assert frames.tolist() == [8, 3, 12]
-    np.testing.assert_array_equal(obs[2], arrays[2])
+    np.testing.assert_array_equal(obs[2, :12], arrays[2])
+    assert (obs[2, 12:] == 0).all()
 
 
 def test_pt_files_fall_back_to_python(tmp_path):
@@ -67,3 +69,19 @@ def test_pt_files_fall_back_to_python(tmp_path):
     data_loader = loader([file])
     from torbi_tpu.data.loader import DataLoader
     assert isinstance(data_loader, DataLoader)
+
+
+def test_probe_rejects_batched_npy(tmp_path):
+    """A 3-D (batch-leading) .npy must be rejected, not silently misread
+    as its first two dims"""
+    from torbi_tpu.data import native
+
+    if not native.available():
+        pytest.skip('native loader unavailable')
+    path = tmp_path / 'batched.npy'
+    np.save(path, np.zeros((1, 16, 8), dtype=np.float32))
+    assert native.probe(str(path)) is None
+
+    path1d = tmp_path / 'flat.npy'
+    np.save(path1d, np.zeros(16, dtype=np.float32))
+    assert native.probe(str(path1d)) is None

@@ -27,34 +27,26 @@ from .utils.convert import to_jax
 
 FP32_TINY = float(np.finfo(np.float32).tiny)
 
-# Converted transition/initial arrays cached per live input object so the
-# per-batch loop of from_dataloader reuses one device array (and downstream
-# band detection caches hit, they key on array identity)
+# Converted transition/initial arrays cached per live immutable jax input
+# so the per-batch loop of from_dataloader reuses one device array (and
+# downstream band detection caches hit -- they key on array identity).
+# Mutable numpy/torch inputs are converted fresh every call: caching them
+# by identity would silently serve stale results after in-place mutation.
+from .utils.cache import identity_cached as _identity_cached  # noqa: E402
+
 _prepare_cache = {}
 
 
 def _prepare_log(array, log_probs):
-    """Convert a transition/initial array to a log-space float32 jax array,
-    cached by input object identity."""
-    import weakref
+    """Convert a transition/initial array to a log-space float32 jax array"""
+    def convert():
+        converted = to_jax(array, jnp.float32)
+        if not log_probs:
+            converted = jnp.log(converted)
+        return converted
 
-    key = (id(array), bool(log_probs))
-    if key in _prepare_cache:
-        result, ref = _prepare_cache[key]
-        if ref() is array:
-            return result
-        del _prepare_cache[key]
-    converted = to_jax(array, jnp.float32)
-    if not log_probs:
-        converted = jnp.log(converted)
-    try:
-        ref = weakref.ref(array)
-    except TypeError:
-        ref = lambda: array
-    if len(_prepare_cache) > 64:
-        _prepare_cache.clear()
-    _prepare_cache[key] = (converted, ref)
-    return converted
+    return _identity_cached(
+        _prepare_cache, array, convert, extra_key=bool(log_probs))
 
 
 def _device(gpu):
@@ -255,17 +247,20 @@ def from_files_to_files(
     is enabled) and saved per file.
     """
     # Load transition probabilities (files store probabilities; reference
-    # core.py:340-346 applies log(x + tiny) when log_probs is set)
+    # core.py:340-346 applies log(x + tiny) when log_probs is set). Convert
+    # to immutable device arrays here so the per-batch identity caches
+    # (prepared-log, band detection) hit for every batch of the workload.
     if transition_file:
         transition = io.load(transition_file)
         if log_probs:
             transition = np.log(
                 transition + np.finfo(transition.dtype).tiny)
+        transition = jnp.asarray(transition, dtype=jnp.float32)
     else:
         transition = None
 
     if initial_file:
-        initial = io.load(initial_file)
+        initial = jnp.asarray(io.load(initial_file), dtype=jnp.float32)
     else:
         initial = None
 
@@ -309,6 +304,10 @@ def from_dataloader(
         transition, initial, log_probs, gpu, num_threads
             As in from_probabilities
     """
+    # Accept str- or Path-keyed mappings (the reference builds Path keys,
+    # core.py:355-358); lookups below are by str
+    output_files = {str(key): value for key, value in output_files.items()}
+
     bar = progress.ProgressBar(torbi_tpu.CONFIG, len(dataloader.dataset))
 
     def write(pending, indices):

@@ -77,10 +77,17 @@ int parse_npy_header(FILE* file, NpyInfo* info) {
   if (open == std::string::npos || close == std::string::npos)
     return kErrShape;
   std::string shape = header.substr(open + 1, close - open - 1);
+  // Exactly two dimensions: reject N-D tuples instead of silently reading
+  // the first two numbers (e.g. a (1, T, S) batch-leading save)
   long long frames = 0, states = 0;
-  if (sscanf(shape.c_str(), "%lld , %lld", &frames, &states) != 2 &&
-      sscanf(shape.c_str(), "%lld, %lld", &frames, &states) != 2)
+  int consumed = 0;
+  if (sscanf(shape.c_str(), " %lld , %lld %n", &frames, &states,
+             &consumed) != 2)
     return kErrShape;
+  for (size_t i = consumed; i < shape.size(); ++i) {
+    char c = shape[i];
+    if (c != ' ' && c != ',') return kErrShape;
+  }
   info->frames = frames;
   info->states = states;
   info->data_offset = prefix + header_len;

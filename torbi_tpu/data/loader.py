@@ -64,23 +64,31 @@ class NativeDataLoader:
     outside the GIL. Yields the same tuples as DataLoader.
     """
 
-    def __init__(self, input_files, batch_size, num_threads):
+    def __init__(self, input_files, batch_size, num_threads, shapes=None):
         self.dataset = Dataset(input_files)
         self.input_files = [str(f) for f in input_files]
         self.batch_size = batch_size
         self.num_threads = max(num_threads, 8)
-        self.shapes = [native.probe(f) for f in self.input_files]
+        # Reuse shapes probed during eligibility checking; each probe is a
+        # file open + header parse
+        self.shapes = (
+            shapes if shapes is not None
+            else [native.probe(f) for f in self.input_files])
 
     def __len__(self):
         return (len(self.input_files) + self.batch_size - 1) \
             // self.batch_size
 
     def __iter__(self):
+        from ..ops.dispatch import bucket_frames
+
         for start in range(0, len(self.input_files), self.batch_size):
             stop = min(start + self.batch_size, len(self.input_files))
             files = self.input_files[start:stop]
             shapes = self.shapes[start:stop]
-            max_frames = max(shape[0] for shape in shapes)
+            # Bucketed frames keep host-to-device transfers tile-aligned
+            # and batch shapes shared (see data/collate.py)
+            max_frames = bucket_frames(max(shape[0] for shape in shapes))
             states = shapes[0][1]
             result = native.load_batch(
                 files, max_frames, states, self.num_threads)
@@ -94,23 +102,29 @@ class NativeDataLoader:
 
 
 def _native_eligible(input_files):
+    """Probed (frames, states) per file when the native loader applies,
+    else None"""
     import torbi_tpu as config
-    return (
-        config.USE_NATIVE_LOADER
-        and config.MIN_CHUNK_SIZE is None
-        and len(input_files) > 0
-        and all(Path(f).suffix == '.npy' for f in input_files)
-        and native.available()
-        and all(native.probe(f) is not None for f in input_files))
+    if not (config.USE_NATIVE_LOADER
+            and config.MIN_CHUNK_SIZE is None
+            and len(input_files) > 0
+            and all(Path(f).suffix == '.npy' for f in input_files)
+            and native.available()):
+        return None
+    shapes = [native.probe(f) for f in input_files]
+    return shapes if all(s is not None for s in shapes) else None
 
 
 def loader(input_files, num_workers=None, collate_fn=None):
     """Retrieve a data loader"""
     if num_workers is None:
         num_workers = torbi_tpu.NUM_WORKERS
-    if collate_fn is None and _native_eligible(input_files):
-        return NativeDataLoader(
-            input_files, torbi_tpu.BATCH_SIZE, num_workers)
+    if collate_fn is None:
+        shapes = _native_eligible(input_files)
+        if shapes is not None:
+            return NativeDataLoader(
+                input_files, torbi_tpu.BATCH_SIZE, num_workers,
+                shapes=shapes)
     dataset = Dataset(input_files)
     return DataLoader(
         dataset,

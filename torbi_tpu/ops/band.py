@@ -60,36 +60,10 @@ def _round_up(value, multiple):
 # identity -- jax arrays are immutable, so identity implies content; a host
 # sync per decode call otherwise). Mutable numpy inputs are never cached:
 # their stats are computed directly in numpy instead.
+from ..utils.cache import identity_cached as _identity_cached  # noqa: E402
+
 _detect_cache = {}
 _initial_gate_cache = {}
-
-
-def _identity_cached(cache, array, compute, extra_key=()):
-    """Cache `compute()` per live immutable jax array.
-
-    The stored weakref (or a strong closure when weakrefs are unsupported)
-    proves the id was not recycled. numpy and other mutable inputs bypass
-    the cache entirely.
-    """
-    import weakref
-
-    if not isinstance(array, jax.Array):
-        return compute()
-    cache_key = (id(array), tuple(array.shape), extra_key)
-    if cache_key in cache:
-        result, ref = cache[cache_key]
-        if ref() is array:
-            return result
-        del cache[cache_key]
-    result = compute()
-    if len(cache) > 64:
-        cache.clear()
-    try:
-        ref = weakref.ref(array)
-    except TypeError:
-        ref = lambda: array
-    cache[cache_key] = (result, ref)
-    return result
 
 
 def detect_band(transition, states_padded=None):

@@ -53,8 +53,13 @@ def decode_lse(observation, batch_frames, transition, initial, beta=8.0):
     """
     batch, frames, states = observation.shape
     tiny = jnp.finfo(jnp.float32).tiny
-    # Per-destination-row normalization keeps exp(beta * T) in (0, 1]
+    # Per-destination-row normalization keeps exp(beta * T) in (0, 1].
+    # An all--inf row (unreachable destination) must normalize by a FINITE
+    # value, or (transition - rowmax) is NaN and poisons the whole decode;
+    # with rowmax 0 its exp column is all zeros and the log floor keeps the
+    # state at effectively -inf, matching the exact backends.
     rowmax = jnp.max(transition, axis=1)  # (S_dst,)
+    rowmax = jnp.where(jnp.isfinite(rowmax), rowmax, 0.0)
     exp_t = jnp.exp(
         beta * (transition - rowmax[:, None])).T  # (S_src, S_dst)
     post0 = observation[:, 0, :] + initial[None, :]
@@ -62,6 +67,9 @@ def decode_lse(observation, batch_frames, transition, initial, beta=8.0):
     def step(post, inputs):
         obs_t, t = inputs
         c = jnp.max(post, axis=-1, keepdims=True)  # (N, 1)
+        # The same guard for a sequence whose entire posterior hit the
+        # log floor (c = -inf would make post - c NaN)
+        c = jnp.where(jnp.isfinite(c), c, 0.0)
         u = jnp.exp(beta * (post - c))
         v = jnp.dot(u, exp_t, preferred_element_type=jnp.float32)
         new_post = (

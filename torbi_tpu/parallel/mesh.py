@@ -20,12 +20,21 @@ def batch_mesh(n_devices=None, devices=None):
 
 
 def initialize_distributed():
-    """Initialize jax.distributed for multi-host pods (no-op if single host
-    or already initialized)"""
+    """Initialize jax.distributed for multi-host pods.
+
+    Must run before any other JAX call: querying the backend (even
+    jax.process_count()) initializes single-process mode and makes a later
+    distributed initialization impossible. Safe to call twice and in
+    single-host environments (where auto-detection finds no coordinator).
+    """
     try:
-        if jax.process_count() > 1:
-            return
         jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        # Single-process environment or already initialized
+    except RuntimeError as error:
+        # Already initialized is fine; anything else (e.g. called after
+        # the backend came up on a pod) must surface, or every host would
+        # silently fall back to decoding the full workload
+        if 'already' not in str(error).lower():
+            raise
+    except ValueError:
+        # No cluster environment detected: single-host run
         pass
