@@ -53,9 +53,14 @@ def _enable_compilation_cache():
                 os.path.expanduser('~'), '.cache', 'torbi_tpu', 'xla'))
         os.makedirs(path, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', path)
-        # Persist even sub-second compiles: platforms that compile through
-        # a remote hop pay ~1s per tiny op program on every fresh process
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+        # Persist even sub-second compiles ONLY on platforms that compile
+        # through a remote hop (~1s per tiny op program on a fresh process);
+        # elsewhere keep the JAX default so unrelated JAX programs in the
+        # same process don't bloat the on-disk cache
+        platforms = os.environ.get('JAX_PLATFORMS', '')
+        if 'axon' in platforms or os.environ.get('TORBI_TPU_PERSIST_ALL'):
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 0.0)
     except Exception:
         pass  # cache is an optimization only
 

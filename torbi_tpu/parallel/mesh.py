@@ -27,13 +27,18 @@ def initialize_distributed():
     distributed initialization impossible. Safe to call twice and in
     single-host environments (where auto-detection finds no coordinator).
     """
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize()
     except RuntimeError as error:
-        # Already initialized is fine; anything else (e.g. called after
-        # the backend came up on a pod) must surface, or every host would
-        # silently fall back to decoding the full workload
-        if 'already' not in str(error).lower():
+        # Already initialized is fine (guard above covers current JAX, the
+        # message check covers versions without is_initialized); anything
+        # else (e.g. called after the backend came up on a pod) must
+        # surface, or every host would silently fall back to decoding the
+        # full workload
+        message = str(error).lower()
+        if 'already' not in message and 'only be called once' not in message:
             raise
     except ValueError:
         # No cluster environment detected: single-host run
