@@ -64,6 +64,25 @@ def test_pallas_matches_oracle(batch, frames, states, padded):
     np.testing.assert_array_equal(got, expected)
 
 
+def test_xla_backend_buckets_compiles_once():
+    """Distinct raw shapes within one (batch, frames) bucket share a single
+    staged pipeline on the XLA backend (no per-shape recompiles)"""
+    from torbi_tpu.ops import dispatch as dispatch_mod
+
+    rng = np.random.default_rng(5)
+    dispatch_mod._build_decode.cache_clear()
+    shapes = [(2, 9, 12), (3, 11, 12), (1, 14, 12)]  # one (8, 16) bucket
+    for batch, frames, states in shapes:
+        obs, bf, trans, init = random_case(rng, batch, frames, states)
+        expected = oracle.viterbi_numpy(obs, bf, trans, init)
+        got = np.asarray(dispatch_decode(
+            jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+            jnp.asarray(init), backend='xla'))
+        np.testing.assert_array_equal(got, expected)
+    info = dispatch_mod._build_decode.cache_info()
+    assert info.misses == 1, info
+
+
 def test_exact_ties_lowest_index():
     """Exact ties resolve to the lowest source index on every backend"""
     batch, frames, states = 2, 6, 5
@@ -101,6 +120,32 @@ def test_band_kernel_matches_dense():
     lo, width, floor = detected
     assert lo == -(halfwidth) and width == 2 * halfwidth + 1
     assert floor is None  # -inf exterior
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_constant_transition_fast_path():
+    """A constant transition matrix (e.g. the uniform default) detects as a
+    width-0 floor band and decodes bit-exactly via one lane-max per frame"""
+    from torbi_tpu.ops import band as band_ops
+
+    rng = np.random.default_rng(29)
+    batch, frames, states = 3, 30, 40
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    trans = np.full(
+        (states, states), np.float32(np.log(1.0 / states)), dtype=np.float32)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames, frames - 11, 1], dtype=np.int32)
+
+    detected = band_ops.detect_band(jnp.asarray(trans))
+    assert detected == (0, 0, float(np.float32(np.log(1.0 / states))))
 
     expected = oracle.viterbi_numpy(obs, bf, trans, init)
     got = np.asarray(dispatch_decode(

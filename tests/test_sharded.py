@@ -52,6 +52,57 @@ def test_sharded_on_subset_mesh():
     np.testing.assert_array_equal(got, expected)
 
 
+@pytest.mark.parametrize('backend', ['xla', 'pallas'])
+def test_auto_shard_default_path(backend):
+    """dispatch.decode auto-shards over all local devices when the batch is
+    large enough -- the production path, no explicit mesh anywhere"""
+    from torbi_tpu.ops import dispatch
+
+    rng = np.random.default_rng(8)
+    batch = 8 * 8  # one BATCH_PAD_MULTIPLE group per device
+    obs, bf, trans, init = _case(rng, batch=batch, frames=12, states=10)
+
+    mesh_key = dispatch.resolve_mesh(None, batch)
+    assert mesh_key is not None and len(mesh_key) == 8
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch.decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend=backend))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_auto_shard_declines_small_batches():
+    from torbi_tpu.ops import dispatch
+
+    assert dispatch.resolve_mesh(None, 7) is None
+    assert dispatch.resolve_mesh(None, 15) is None  # one group only
+
+
+def test_auto_shard_respects_config(monkeypatch):
+    import torbi_tpu
+    from torbi_tpu.ops import dispatch
+
+    monkeypatch.setattr(torbi_tpu, 'AUTO_SHARD', False)
+    assert dispatch.resolve_mesh(None, 512) is None
+
+
+def test_sharded_build_is_cached():
+    """Repeated sharded decodes of one shape bucket stage exactly once"""
+    from torbi_tpu.ops import dispatch
+
+    rng = np.random.default_rng(9)
+    dispatch._build_decode.cache_clear()
+    for _ in range(3):
+        obs, bf, trans, init = _case(rng, batch=64, frames=12, states=10)
+        expected = oracle.viterbi_numpy(obs, bf, trans, init)
+        got = np.asarray(decode_sharded(
+            jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+            jnp.asarray(init), backend='xla'))
+        np.testing.assert_array_equal(got, expected)
+    assert dispatch._build_decode.cache_info().misses == 1
+
+
 def test_shard_files_round_robin():
     files = [f'in{i}' for i in range(10)]
     outs = [f'out{i}' for i in range(10)]

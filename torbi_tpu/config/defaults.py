@@ -82,9 +82,15 @@ BAND_MAX_FRACTION = 0.5
 BAND_TAIL_GATING = False
 BAND_CORE_WIDTH = 63
 
+# Shard the batch axis over all local devices automatically whenever more
+# than one device is visible and the batch is large enough to feed them
+# (one BATCH_PAD_MULTIPLE group per chip minimum). Disable to pin decoding
+# to a single device.
+AUTO_SHARD = True
+
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
-FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 10240, 16384)
 
 # Pad the batch dimension up to the next multiple of this inside decode
 BATCH_PAD_MULTIPLE = 8
@@ -105,6 +111,11 @@ USE_NATIVE_LOADER = True
 # Score against the librosa reference decoder; when False, score chunked
 # decoding against this framework's own unchunked output instead
 COMPARE_WITH_REFERENCE = True
+
+# Decode backend the evaluation harness runs ('pallas', 'xla', 'lse', or
+# None for the configured default) -- lets approximate modes be scored on
+# real corpora with the same machinery
+EVAL_BACKEND = None
 
 # Evaluation corpora
 DATASETS = ['daps', 'vctk']

@@ -12,6 +12,7 @@ probability inputs are ``log``-ed, and the observation is stabilized as
 ``log(exp(observation) + tiny)`` in float32. ``gpu`` selects a jax device
 index (the reference's CUDA index); None uses the default device.
 """
+import functools
 import math
 import os
 from typing import Dict, List, Optional, Union
@@ -53,6 +54,24 @@ def _device(gpu):
     if gpu is None:
         return None
     return jax.devices()[gpu]
+
+
+@functools.lru_cache(maxsize=8)
+def _default_initial(states):
+    """Uniform initial distribution, log(1/S + tiny) (reference
+    core.py:161-166). Cached so repeated calls reuse one device array (and
+    the band-detection identity caches hit)."""
+    return jnp.full(
+        (states,), math.log((1. / states) + FP32_TINY), dtype=jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _default_transition(states):
+    """Uniform transition, log(1/S) (reference core.py:174-180). Cached:
+    the constant matrix routes to the width-0 band fast path, and caching
+    keeps its detection from re-fetching the matrix every call."""
+    return jnp.full(
+        (states, states), math.log(1. / states), dtype=jnp.float32)
 
 
 def from_probabilities(
@@ -124,15 +143,13 @@ def _dispatch_decode(observation, batch_frames, transition, initial,
     # Default to uniform initial probabilities (reference core.py:161-166
     # includes tiny inside the log for initial but not transition)
     if initial is None:
-        initial = jnp.full(
-            (states,), math.log((1. / states) + FP32_TINY), dtype=jnp.float32)
+        initial = _default_initial(states)
     else:
         initial = _prepare_log(initial, log_probs)
 
     # Default to uniform transition probabilities
     if transition is None:
-        transition = jnp.full(
-            (states, states), math.log(1. / states), dtype=jnp.float32)
+        transition = _default_transition(states)
     else:
         transition = _prepare_log(transition, log_probs)
 
@@ -238,6 +255,7 @@ def from_files_to_files(
     log_probs: bool = False,
     gpu: Optional[int] = None,
     num_threads: Optional[int] = None,
+    backend: Optional[str] = None,
 ) -> None:
     """Decode time-varying categorical distribution files and save
 
@@ -276,7 +294,8 @@ def from_files_to_files(
         initial=initial,
         log_probs=log_probs,
         gpu=gpu,
-        num_threads=num_threads)
+        num_threads=num_threads,
+        backend=backend)
 
 
 ###############################################################################
@@ -292,6 +311,7 @@ def from_dataloader(
     log_probs: bool = False,
     gpu: Optional[int] = None,
     num_threads: Optional[int] = 1,
+    backend: Optional[str] = None,
 ) -> None:
     """Decode time-varying categorical distributions from a dataloader
 
@@ -301,7 +321,7 @@ def from_dataloader(
             (observation, batch_frames, batch_chunks, input_filenames)
         output_files
             A dictionary mapping input filenames to output filenames
-        transition, initial, log_probs, gpu, num_threads
+        transition, initial, log_probs, gpu, num_threads, backend
             As in from_probabilities
     """
     # Accept str- or Path-keyed mappings (the reference builds Path keys,
@@ -342,7 +362,7 @@ def from_dataloader(
         with time.context('torbi'):
             indices = _dispatch_decode(
                 observation, batch_frames, transition, initial, log_probs,
-                gpu, num_threads, None)
+                gpu, num_threads, backend)
             done = np.asarray(pending[0]) if pending is not None else None
 
         if pending is not None:

@@ -112,6 +112,13 @@ def detect_band(transition, states_padded=None):
                 result = (lo, width, None)
             elif np.isfinite(floor):
                 result = (lo, width, floor)
+    elif np.isfinite(floor):
+        # Constant transition matrix (e.g. the uniform default,
+        # torbi/core.py:174-180): a width-0 band whose every candidate is
+        # the floor -- the recursion collapses to one lane-max per frame,
+        # score[j] = floor + max_i posterior[i], exactly (monotone
+        # rounding: fl(floor + max p) == max_i fl(floor + p_i))
+        result = (0, 0, float(floor))
     return result
 
 
@@ -160,7 +167,7 @@ def build_band_matrix(transition_padded, lo, width):
     Traced (jit-safe) given static lo/width.
     """
     states_padded = transition_padded.shape[0]
-    width_padded = _round_up(width, 8)
+    width_padded = max(_round_up(width, 8), 8)  # width 0: all--inf block
     j = jnp.arange(states_padded)[None, :]
     dd = jnp.arange(width_padded)[:, None]
     i = j + dd + lo
@@ -222,24 +229,31 @@ def _band_kernel(
             # dependency chains instead of one width-long chain.
             # Wrap-around lanes are masked by the -inf band-matrix edges
             # (build_band_matrix), so circular rolls are exact.
-            n_acc = min(4, width)
-            accs = [
-                jnp.full((BATCH_TILE, states_padded), NEG_INF, jnp.float32)
-                for _ in range(n_acc)]
-            for d in range(width):
-                rolled = pltpu.roll(post, (shift0 - d) % states_padded, 1)
-                accs[d % n_acc] = jnp.maximum(
-                    accs[d % n_acc], rolled + band_ref[d:d + 1, :])
-            m = accs[0]
-            for acc in accs[1:]:
-                m = jnp.maximum(m, acc)
+            m = None
+            if width:
+                n_acc = min(4, width)
+                accs = [
+                    jnp.full(
+                        (BATCH_TILE, states_padded), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for d in range(width):
+                    rolled = pltpu.roll(
+                        post, (shift0 - d) % states_padded, 1)
+                    accs[d % n_acc] = jnp.maximum(
+                        accs[d % n_acc], rolled + band_ref[d:d + 1, :])
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
 
             if floor is not None:
                 # Exact out-of-band contribution: floor + global posterior
                 # max (in-band sources double-counted at the floor are
-                # dominated by their in-band candidate since band >= floor)
+                # dominated by their in-band candidate since band >= floor).
+                # With width 0 (constant transition) this is the whole
+                # recursion: one lane-max per frame
                 gmax = jnp.max(post, axis=1, keepdims=True)  # (8, 1)
-                m = jnp.maximum(m, gmax + floor)
+                fm = gmax + floor
+                m = fm if m is None else jnp.maximum(m, fm)
 
             valid = t < frames_col  # (8, 1)
             new_post = jnp.where(valid, obs_col(k) + m, post)
@@ -425,7 +439,7 @@ def _build_cmax(band_matrix, c0, c1, width):
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         floor, core_w=None, interpret=False):
-    width_padded = _round_up(width, 8)
+    width_padded = max(_round_up(width, 8), 8)
     gated = core_w is not None
     # Blocks need a sublane-multiple frame tile; the gated kernel's
     # statically-unrolled tails make its Mosaic program ~3x the ungated one

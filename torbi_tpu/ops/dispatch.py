@@ -14,6 +14,16 @@ slice) is staged as ONE jitted computation per (shape bucket, band
 signature), cached. Band detection and the gating finiteness checks are the
 only host-synchronizing steps and are cached per input buffer, so the steady
 state per decode call is a single compiled-function dispatch.
+
+Multi-chip is the DEFAULT: when several local devices are visible and the
+batch is large enough to feed them, the staged pipeline is wrapped in a
+``shard_map`` over a 1-D 'batch' mesh (decoding is embarrassingly parallel
+over sequences -- the reference maps batch to the CUDA grid,
+/root/reference/torbi/csrc/cuda/viterbi.cu:230; the TPU-native equivalent is
+batch sharding with the transition/initial replicated and no collectives).
+The sharded build is cached per (shape bucket, mesh) exactly like the
+single-device one, so ``from_dataloader``/``from_files_to_files`` use every
+local chip with no per-call re-staging.
 """
 import functools
 
@@ -28,6 +38,45 @@ from .pallas import viterbi_forward_pallas
 from .scan import decode_xla
 
 NEG_INF = float('-inf')
+
+# Meshes interned by device-id key so the lru-cached builder can key on a
+# hashable value while the builder body recovers the Mesh object
+_mesh_registry = {}
+
+
+def _intern_mesh(mesh):
+    if mesh is None:
+        return None
+    key = tuple(int(d.id) for d in mesh.devices.flat)
+    _mesh_registry[key] = mesh
+    return key
+
+
+@functools.lru_cache(maxsize=8)
+def _auto_mesh_key(n_shards):
+    from ..parallel import mesh as mesh_lib
+
+    devices = jax.devices()[:n_shards]
+    return _intern_mesh(mesh_lib.batch_mesh(devices=devices))
+
+
+def resolve_mesh(mesh, batch):
+    """The decode mesh for a call: an explicit mesh wins; otherwise all
+    local devices the batch can feed (one BATCH_PAD_MULTIPLE group per
+    shard minimum), or None (single-device) when sharding cannot pay or
+    AUTO_SHARD is off."""
+    if mesh is not None:
+        return _intern_mesh(mesh)
+    if not getattr(torbi_tpu, 'AUTO_SHARD', True):
+        return None
+    n_devices = jax.device_count()
+    if n_devices <= 1:
+        return None
+    n_shards = min(
+        n_devices, max(1, batch // max(int(torbi_tpu.BATCH_PAD_MULTIPLE), 8)))
+    if n_shards <= 1:
+        return None
+    return _auto_mesh_key(n_shards)
 
 
 def _round_up(value, multiple):
@@ -77,8 +126,8 @@ def _config_key():
 
 
 @functools.lru_cache(maxsize=128)
-def _build_decode(batch_p, frames_p, states, band, interpret, log_input,
-                  apply_epsilon, config_key):
+def _build_decode(backend, batch_p, frames_p, states, band, interpret,
+                  log_input, apply_epsilon, mesh_key, config_key):
     """Stage the decode pipeline for one (bucketed batch, bucketed frames)
     shape as a single jitted function.
 
@@ -88,18 +137,29 @@ def _build_decode(batch_p, frames_p, states, band, interpret, log_input,
     kernel compilation of its bucket. The log conversion and epsilon
     stabilization fold into the same program: per-batch work is one
     host-to-device transfer, one executable dispatch, one result fetch.
+
+    With a mesh (``mesh_key``), the same pipeline body runs inside a
+    ``shard_map`` over the 'batch' axis, and the jit carries explicit input
+    shardings so host arrays scatter straight to their shards (no bounce
+    through device 0). The build is cached, so there is no per-call
+    re-staging on the multi-chip path either.
     """
     del config_key  # only disambiguates the cache entry
     states_p = _round_up(states, 128)
 
-    @jax.jit
-    def run(observation, batch_frames, transition, initial):
+    def pipeline(observation, batch_frames, transition, initial):
         obs = observation
         if not log_input:
             obs = jnp.log(obs)
         if apply_epsilon:
             # Reference stability epsilon (torbi/core.py:193-197)
             obs = jnp.log(jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
+
+        if backend == 'xla':
+            # The scan path needs no state padding; it shares the staged
+            # pad/bucket pipeline so CPU/GPU file workloads compile once
+            # per shape bucket instead of once per raw shape
+            return decode_xla(obs, batch_frames, transition, initial)
 
         # The observation state dimension stays unpadded: the forward
         # kernels lane-pad its columns in-register, saving a full-size XLA
@@ -120,11 +180,31 @@ def _build_decode(batch_p, frames_p, states, band, interpret, log_input,
         return backtrace_posteriors(
             post_seq, trans, posterior, batch_frames, interpret=interpret)
 
-    return run
+    if mesh_key is None:
+        return jax.jit(pipeline)
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh_registry[mesh_key]
+    sharded = shard_map(
+        pipeline,
+        mesh=mesh,
+        in_specs=(P('batch'), P('batch'), P(), P()),
+        out_specs=P('batch'),
+        check_vma=False)
+    return jax.jit(
+        sharded,
+        in_shardings=(
+            NamedSharding(mesh, P('batch')),
+            NamedSharding(mesh, P('batch')),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P())))
 
 
 def decode(observation, batch_frames, transition, initial, backend=None,
-           finite_observation=False, log_input=True, apply_epsilon=False):
+           finite_observation=False, log_input=True, apply_epsilon=False,
+           mesh=None):
     """Decode log-space inputs. All arguments are jax arrays.
 
     observation: (batch, frames, states) float32 log-probs (probabilities
@@ -135,6 +215,9 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     apply_epsilon: fold the reference's exp/+tiny/log stabilization into
         the staged device program (its output is always finite for finite
         or -inf inputs, so it implies ``finite_observation``)
+    mesh: optional 1-D jax Mesh with axis 'batch'; by default all local
+        devices are used automatically when the batch can feed them
+        (disable with ``torbi_tpu.AUTO_SHARD = False``)
 
     Returns (batch, frames) int32 decoded state indices.
     """
@@ -142,15 +225,6 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     batch, frames, states = observation.shape
     if apply_epsilon:
         finite_observation = True
-
-    if backend == 'xla':
-        obs = observation
-        if not log_input:
-            obs = jnp.log(obs)
-        if apply_epsilon:
-            obs = jnp.log(
-                jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
-        return decode_xla(obs, batch_frames, transition, initial)
 
     if backend == 'lse':
         # MXU-accelerated approximate mode (see ops/lse.py)
@@ -184,23 +258,29 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             if not bool(finite.all()):
                 band = None
 
-    batch_p = bucket_batch(batch)
+    mesh_key = resolve_mesh(mesh, batch)
+    n_shards = len(mesh_key) if mesh_key is not None else 1
+    # Each shard's slice is padded to its own bucket so all shards run the
+    # same kernel shape (per-shard batch is a multiple of the pad multiple)
+    batch_p = bucket_batch(-(-batch // n_shards)) * n_shards
     frames_p = bucket_frames(frames)
     if batch_p == batch and frames_p == frames:
         obs, bf = observation, batch_frames
     else:
+        # Probability-space inputs pad with 0.0 so the staged jnp.log maps
+        # padded entries to -inf (NEG_INF would log to NaN)
         obs = jnp.pad(
             observation,
             ((0, batch_p - batch), (0, frames_p - frames), (0, 0)),
-            constant_values=NEG_INF)
+            constant_values=NEG_INF if log_input else 0.0)
         bf = jnp.pad(
             jnp.asarray(batch_frames).astype(jnp.int32),
             (0, batch_p - batch),
             constant_values=1)
 
     fn = _build_decode(
-        batch_p, frames_p, states, band, interpret, log_input,
-        apply_epsilon, _config_key())
+        backend, batch_p, frames_p, states, band, interpret, log_input,
+        apply_epsilon, mesh_key, _config_key())
     indices = fn(obs, bf, transition, initial)
     if batch_p == batch and frames_p == frames:
         return indices
