@@ -1,0 +1,275 @@
+"""Profiling: trace capture and device-time breakdown for the decode pipeline.
+
+The reference only has wall-clock timing (torchutil.time wrapped around the
+decode call, /root/reference/torbi/core.py:200). The TPU equivalent
+(SURVEY.md section 5) is proper device-level accounting:
+
+- ``capture``: run a callable under ``jax.profiler.trace`` and return the
+  trace directory (viewable in TensorBoard / Perfetto).
+- ``device_op_times``: parse the captured ``.trace.json.gz`` into aggregate
+  per-op device durations -- the ground truth for where a decode call spends
+  its time (kernels vs XLA glue copies).
+- ``time_stages``: a trace-free fallback that measures the pipeline stage by
+  stage with chained-dependency timing loops. Standalone ``pallas_call``
+  timing via ``block_until_ready`` is unreliable on remote-tunneled
+  platforms (it can return before the device finishes), so each timed region
+  is iterated K times inside ONE jitted program with a scalar dependency
+  chain forcing sequential execution, and the result is fetched to the host.
+- ``speed_of_light``: compare measured kernel time against a VPU issue-rate
+  model for the banded recursion.
+"""
+import contextlib
+import glob
+import gzip
+import json
+import os
+import time
+
+import numpy as np
+
+
+###############################################################################
+# Trace capture
+###############################################################################
+
+
+@contextlib.contextmanager
+def trace(trace_dir):
+    """Context manager capturing a jax.profiler trace into ``trace_dir``"""
+    import jax
+
+    jax.profiler.start_trace(str(trace_dir))
+    try:
+        yield trace_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def capture(fn, trace_dir):
+    """Run ``fn()`` under the profiler; returns (result, trace_dir)"""
+    with trace(trace_dir):
+        result = fn()
+    return result, trace_dir
+
+
+###############################################################################
+# Trace parsing
+###############################################################################
+
+
+def _find_trace_files(trace_dir):
+    return sorted(glob.glob(
+        os.path.join(str(trace_dir), '**', '*.trace.json.gz'),
+        recursive=True))
+
+
+def device_op_times(trace_dir, top=None):
+    """Aggregate per-op device time from a captured trace.
+
+    Returns a list of dicts ``{name, total_ms, count}`` sorted by total
+    duration (device tracks only -- process names containing 'TPU' or
+    'device'), or an empty list when the platform produced no device trace
+    (fall back to ``time_stages``).
+    """
+    files = _find_trace_files(trace_dir)
+    if not files:
+        return []
+    events = []
+    device_pids = set()
+    for path in files:
+        with gzip.open(path, 'rt') as f:
+            data = json.load(f)
+        for event in data.get('traceEvents', []):
+            phase = event.get('ph')
+            if phase == 'M' and event.get('name') == 'process_name':
+                name = event.get('args', {}).get('name', '')
+                if 'TPU' in name or 'device' in name.lower():
+                    device_pids.add(event.get('pid'))
+            elif phase == 'X':
+                events.append(event)
+    totals = {}
+    for event in events:
+        if event.get('pid') not in device_pids:
+            continue
+        name = event.get('name', '?')
+        dur_us = float(event.get('dur', 0.0))
+        total, count = totals.get(name, (0.0, 0))
+        totals[name] = (total + dur_us, count + 1)
+    rows = [
+        {'name': name, 'total_ms': total / 1000.0, 'count': count}
+        for name, (total, count) in totals.items()]
+    rows.sort(key=lambda r: -r['total_ms'])
+    return rows[:top] if top else rows
+
+
+###############################################################################
+# Trace-free stage timing
+###############################################################################
+
+
+def time_chained(build_step, iters=8, warmup=True):
+    """Time one jitted program running ``iters`` dependency-chained steps.
+
+    ``build_step(carry)`` must return a new scalar carry whose value depends
+    on the timed computation (forcing the device to actually execute every
+    iteration before the final fetch). Returns seconds per step.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(carry0):
+        def body(_, carry):
+            return build_step(carry)
+        return lax.fori_loop(0, iters, body, carry0)
+
+    carry0 = jnp.zeros((), jnp.float32)
+    if warmup:
+        float(run(carry0))  # compile + first-fetch handshake
+    start = time.perf_counter()
+    float(run(carry0))  # fetch forces completion
+    elapsed = time.perf_counter() - start
+    return elapsed / iters
+
+
+def time_submissions(fn, fetch_scalar, iters=8):
+    """Steady-state seconds per call for an already-compiled program.
+
+    Submits ``iters`` back-to-back executions (the device runs submitted
+    programs in order, so they serialize on the accelerator while host
+    dispatch overlaps) and forces completion by fetching one scalar from the
+    last result via ``fetch_scalar(result) -> jax scalar``. One device_get
+    per measurement -- no per-iteration sync, no new program compiles.
+    """
+    result = fn()
+    float(np.asarray(fetch_scalar(result)))  # warmup + handshake
+    start = time.perf_counter()
+    result = None
+    for _ in range(iters):
+        result = fn()
+    float(np.asarray(fetch_scalar(result)))
+    elapsed = time.perf_counter() - start
+    return elapsed / iters
+
+
+def time_stages(observation, batch_frames, transition, initial, iters=8):
+    """Measure forward kernel, backtrace kernel, staged pipeline, and
+    end-to-end wall time for one decode workload.
+
+    Inputs are the UNPADDED arrays exactly as ``dispatch.decode`` receives
+    them. Returns a dict of milliseconds:
+
+    - forward_ms / backtrace_ms: steady-state device time per call
+      (queued submissions; host dispatch overlapped)
+    - pipeline_ms: the full staged jit (pad + kernels + slice)
+    - e2e_ms: one dispatch.decode call with block_until_ready (includes
+      host dispatch + result sync)
+    - glue_ms: pipeline - forward - backtrace (XLA copies and conversions)
+    - host_ms: e2e - pipeline (dispatch/tunnel overhead)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import band as band_ops
+    from ..ops import dispatch
+    from ..ops.backtrace import backtrace_posteriors
+    from ..ops.pallas import viterbi_forward_pallas
+
+    batch, frames, states = observation.shape
+    states_p = ((states + 127) // 128) * 128
+    interpret = jax.default_backend() != 'tpu'
+
+    trans_p = jnp.pad(
+        transition,
+        ((0, states_p - states), (0, states_p - states)),
+        constant_values=float('-inf'))
+    init_p = jnp.pad(
+        initial, (0, states_p - states), constant_values=float('-inf'))
+    bf = jnp.asarray(batch_frames).astype(jnp.int32)
+
+    band = band_ops.gate_band(
+        band_ops.detect_band(transition), initial,
+        observation=None, finite_observation=True)
+
+    def forward(obs=observation):
+        if band is not None:
+            return band_ops.viterbi_forward_band(
+                obs, bf, trans_p, init_p, band, interpret=interpret)
+        return viterbi_forward_pallas(
+            obs, bf, trans_p, init_p, interpret=interpret)
+
+    forward_ms = time_submissions(
+        forward, lambda r: r[1][0, 0], iters) * 1e3
+
+    # Backtrace over a fixed forward result
+    post_seq, posterior = jax.block_until_ready(forward())
+
+    def backtrace():
+        return backtrace_posteriors(
+            post_seq, trans_p, posterior, bf, interpret=interpret)
+
+    backtrace_ms = time_submissions(
+        backtrace, lambda r: r[0, 0], iters) * 1e3
+
+    # Full staged pipeline (what dispatch.decode dispatches per batch)
+    def pipeline():
+        return dispatch.decode(
+            observation, bf, transition, initial, finite_observation=True)
+
+    pipeline_ms = time_submissions(
+        pipeline, lambda r: r[0, 0], iters) * 1e3
+
+    # End-to-end single call (host dispatch + sync included)
+    def e2e():
+        return jax.block_until_ready(pipeline())
+
+    e2e()
+    start = time.perf_counter()
+    e2e()
+    e2e_ms = (time.perf_counter() - start) * 1e3
+
+    return {
+        'forward_ms': forward_ms,
+        'backtrace_ms': backtrace_ms,
+        'pipeline_ms': pipeline_ms,
+        'e2e_ms': e2e_ms,
+        'glue_ms': pipeline_ms - forward_ms - backtrace_ms,
+        'host_ms': e2e_ms - pipeline_ms,
+        'band': band,
+    }
+
+
+###############################################################################
+# Speed-of-light model
+###############################################################################
+
+# v5e TensorCore: 8x128-lane VPU, 4 ALU issue slots, ~940 MHz
+V5E_VPU_LANES = 8 * 128
+V5E_VPU_ISSUE = 4
+V5E_CLOCK_HZ = 940e6
+V5E_HBM_GBPS = 819.0
+
+
+def speed_of_light(batch, frames, states_padded, band, measured_forward_ms,
+                   ops_per_candidate=3):
+    """VPU issue-rate model for the banded forward kernel.
+
+    The in-band recursion executes ``ops_per_candidate`` full-width VPU ops
+    (roll + add + max) per (frame, diagonal offset); utilization is measured
+    candidate-lane throughput over the VPU's peak lane issue rate.
+    """
+    width = band[1] if band else states_padded
+    candidate_lanes = batch * frames * width * states_padded
+    vpu_lane_ops = candidate_lanes * ops_per_candidate
+    peak_lane_ops_per_s = V5E_VPU_LANES * V5E_VPU_ISSUE * V5E_CLOCK_HZ
+    ideal_ms = vpu_lane_ops / peak_lane_ops_per_s * 1e3
+    hbm_bytes = batch * frames * states_padded * 4 * 2  # obs in + post out
+    hbm_ms = hbm_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
+    return {
+        'candidate_lanes': candidate_lanes,
+        'vpu_ideal_ms': ideal_ms,
+        'hbm_ideal_ms': hbm_ms,
+        'vpu_utilization': (
+            ideal_ms / measured_forward_ms if measured_forward_ms else 0.0),
+    }
