@@ -14,6 +14,7 @@ import numpy as np
 
 import torbi_tpu
 from ...utils import progress
+from ...utils.notify import notify_on_finish
 
 DAPS_URL = 'https://zenodo.org/record/4660670/files/daps-segmented.tar.gz?download=1'
 VCTK_URL = (
@@ -21,6 +22,7 @@ VCTK_URL = (
     'VCTK-Corpus-0.92.zip')
 
 
+@notify_on_finish('download')
 def datasets(datasets=None):
     """Download datasets"""
     if datasets is None:

@@ -5,8 +5,10 @@ import numpy as np
 
 import torbi_tpu
 from ...utils import io, progress
+from ...utils.notify import notify_on_finish
 
 
+@notify_on_finish('preprocess')
 def datasets(datasets=None, gpu=None):
     """Preprocess datasets: audio -> log-softmax pitch posteriorgram .pt"""
     if datasets is None:

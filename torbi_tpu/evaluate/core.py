@@ -1,111 +1,124 @@
-"""Evaluation harness (reference: torbi/evaluate/core.py).
+"""Accuracy + speed evaluation over pitch posteriorgram corpora.
 
-Per dataset: run the librosa reference decoder once (cached on disk), run the
-TPU decoder over the same files, compute RPA agreement at the configured
-thresholds, and report speed as real-time factor (seconds of audio decoded
-per second of wall time) plus timesteps/second.
+Capability parity with the reference harness
+(/root/reference/torbi/evaluate/core.py): decode every partition stem with
+this framework and with the librosa ground truth (run once, cached on
+disk), score RPA agreement at the configured bin thresholds, and report
+decoding speed as a real-time factor and timesteps/second. Structure is our
+own: per-dataset work is a pipeline of small steps (stem resolution ->
+target generation -> decode -> scoring -> speed), each a function below,
+and the decode backend is configurable (``EVAL_BACKEND``) so approximate
+modes like 'lse' can be scored on real corpora with the same machinery.
 """
 import json
-
-import numpy as np
 
 import torbi_tpu
 from ..models import pitch
 from ..utils import io, time
+from ..utils.notify import notify_on_finish
 
 
+def _transition_file():
+    """The band-diagonal pitch transition matrix, built from the penn
+    constants inlined in models/pitch.py (reference evaluate/core.py:23-34
+    imports penn instead) and cached as a persistent artifact."""
+    path = torbi_tpu.PITCH_TRANSITION_MATRIX
+    if not path.exists():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        io.save(pitch.transition_matrix(), path)
+    return path
+
+
+def _stems(dataset):
+    with open(torbi_tpu.PARTITION_DIR / f'{dataset}.json') as file:
+        return json.load(file)
+
+
+def _paths(dataset, subdir, stems):
+    """Output paths under EVAL_DIR/<dataset>/<subdir>/, directories ready"""
+    root = torbi_tpu.EVAL_DIR / dataset / subdir
+    root.mkdir(parents=True, exist_ok=True)
+    return [root / f'{stem}.pt' for stem in stems]
+
+
+def _ensure_targets(dataset, stems, input_files, num_threads):
+    """Decoded targets to score against.
+
+    COMPARE_WITH_REFERENCE selects the librosa decoder (run at most once;
+    existing outputs are reused so interrupted runs resume per file,
+    reference evaluate/core.py:69-75). Otherwise the targets are this
+    framework's own unchunked outputs -- turning the harness into a
+    chunked-vs-unchunked self-consistency measurement.
+    """
+    if not torbi_tpu.COMPARE_WITH_REFERENCE:
+        return _paths(dataset, 'torbi_tpu', stems)
+    targets = _paths(dataset, 'reference', stems)
+    missing = [
+        (infile, outfile)
+        for infile, outfile in zip(input_files, targets)
+        if not outfile.exists()]
+    if missing:
+        torbi_tpu.reference.from_files_to_files(
+            [pair[0] for pair in missing],
+            [pair[1] for pair in missing],
+            transition_file=_transition_file(),
+            log_probs=True,
+            num_threads=num_threads)
+    return targets
+
+
+def _score(output_files, target_files):
+    metrics = torbi_tpu.evaluate.Metrics()
+    for predicted_file, target_file in zip(output_files, target_files):
+        metrics.update(io.load(predicted_file), io.load(target_file))
+    return metrics
+
+
+def _speed(frames):
+    """Real-time factor and timesteps/second per timing context"""
+    seconds = pitch.frames_to_seconds(frames)
+    timings = time.results()
+    return (
+        {key: seconds / value for key, value in timings.items()},
+        {key: frames / value for key, value in timings.items()})
+
+
+def _evaluate_dataset(dataset, gpu, num_threads):
+    time.reset()
+    stems = _stems(dataset)
+    input_files = [
+        torbi_tpu.CACHE_DIR / dataset / f'{stem}.pt' for stem in stems]
+
+    target_files = _ensure_targets(dataset, stems, input_files, num_threads)
+
+    output_files = _paths(dataset, torbi_tpu.CONFIG, stems)
+    torbi_tpu.from_files_to_files(
+        input_files,
+        output_files,
+        transition_file=_transition_file(),
+        log_probs=True,
+        gpu=gpu,
+        num_threads=num_threads,
+        backend=getattr(torbi_tpu, 'EVAL_BACKEND', None))
+
+    metrics = _score(output_files, target_files)
+    rtf, timesteps_per_second = _speed(metrics.rpas[0].count)
+    return metrics() | {
+        'rtf': rtf,
+        'timesteps_per_second': timesteps_per_second,
+    }
+
+
+@notify_on_finish('evaluate')
 def datasets(datasets=None, gpu=None, num_threads=1):
-    """Evaluate Viterbi decoding methods"""
+    """Evaluate Viterbi decoding over the configured corpora; writes
+    EVAL_DIR/<CONFIG>.json and returns the results dict."""
     if datasets is None:
         datasets = torbi_tpu.DATASETS
 
-    # Cache transition matrix (reference evaluate/core.py:23-34; constants
-    # inlined in models/pitch.py so penn itself is not required)
-    if not torbi_tpu.PITCH_TRANSITION_MATRIX.exists():
-        torbi_tpu.PITCH_TRANSITION_MATRIX.parent.mkdir(
-            parents=True, exist_ok=True)
-        io.save(
-            pitch.transition_matrix(), torbi_tpu.PITCH_TRANSITION_MATRIX)
-
-    results = {}
-    for dataset in datasets:
-
-        # Reset benchmarking
-        time.reset()
-
-        # Get evaluation stems
-        with open(torbi_tpu.PARTITION_DIR / f'{dataset}.json') as file:
-            stems = json.load(file)
-
-        # Get input files
-        input_files = [
-            torbi_tpu.CACHE_DIR / dataset / f'{stem}.pt' for stem in stems]
-
-        transition_file = torbi_tpu.PITCH_TRANSITION_MATRIX
-
-        # Get location of reference outputs
-        if torbi_tpu.COMPARE_WITH_REFERENCE:
-            reference_files = [
-                torbi_tpu.EVAL_DIR / dataset / 'reference' / f'{stem}.pt'
-                for stem in stems]
-            (torbi_tpu.EVAL_DIR / dataset / 'reference').mkdir(
-                parents=True, exist_ok=True)
-            for file in reference_files:
-                file.parent.mkdir(exist_ok=True)
-
-            # Run reference implementation if we haven't yet (idempotent
-            # skip-if-exists, reference evaluate/core.py:69-75)
-            if not all(file.exists() for file in reference_files):
-                torbi_tpu.reference.from_files_to_files(
-                    input_files,
-                    reference_files,
-                    transition_file=transition_file,
-                    log_probs=True,
-                    num_threads=num_threads)
-        else:
-            # Compare with non-chunked torbi_tpu output
-            reference_files = [
-                torbi_tpu.EVAL_DIR / dataset / 'torbi_tpu' / f'{stem}.pt'
-                for stem in stems]
-
-        # Get location to save output
-        output_files = [
-            torbi_tpu.EVAL_DIR / dataset / torbi_tpu.CONFIG / f'{stem}.pt'
-            for stem in stems]
-        (torbi_tpu.EVAL_DIR / dataset / torbi_tpu.CONFIG).mkdir(
-            parents=True, exist_ok=True)
-        for file in output_files:
-            file.parent.mkdir(exist_ok=True)
-
-        # Run Viterbi decoding
-        torbi_tpu.from_files_to_files(
-            input_files,
-            output_files,
-            transition_file=transition_file,
-            log_probs=True,
-            gpu=gpu,
-            num_threads=num_threads)
-
-        # Evaluate
-        metrics = torbi_tpu.evaluate.Metrics()
-        for predicted_file, target_file in zip(
-                output_files, reference_files):
-            predicted = io.load(predicted_file)
-            target = io.load(target_file)
-            metrics.update(predicted, target)
-
-        # Speed as real-time factor and timesteps decoded per second
-        frames = metrics.rpas[0].count
-        seconds = pitch.frames_to_seconds(frames)
-        timings = time.results()
-        rtf = {key: seconds / value for key, value in timings.items()}
-        timesteps_per_second = {
-            key: frames / value for key, value in timings.items()}
-
-        results[dataset] = metrics() | {
-            'rtf': rtf,
-            'timesteps_per_second': timesteps_per_second,
-        }
+    results = {
+        dataset: _evaluate_dataset(dataset, gpu, num_threads)
+        for dataset in datasets}
 
     torbi_tpu.EVAL_DIR.mkdir(parents=True, exist_ok=True)
     with open(torbi_tpu.EVAL_DIR / f'{torbi_tpu.CONFIG}.json', 'w') as file:
