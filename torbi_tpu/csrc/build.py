@@ -38,3 +38,11 @@ def library_path():
         except (OSError, subprocess.SubprocessError):
             _failed = True
             return None
+
+
+if __name__ == '__main__':
+    import sys
+
+    path = library_path()
+    print(f'native loader: {path}')
+    sys.exit(0 if path else 1)
