@@ -71,3 +71,33 @@ def test_chunked_decode_matches_unchunked_on_forced_path():
         for c in chunks]
     rejoined = np.concatenate(decoded)
     np.testing.assert_array_equal(rejoined, full)
+
+
+def test_split_matches_reference_scan():
+    """The vectorized split selects exactly the boundaries of the
+    reference's frame-by-frame scan (reference chunk.py:57-78)"""
+    import numpy as np
+    from torbi_tpu.chunk import entropy, split
+
+    rng = np.random.default_rng(77)
+    for trial in range(20):
+        frames, states = int(rng.integers(5, 400)), 12
+        conc = [0.05, 0.3, 3.0][trial % 3]
+        obs = np.log(
+            rng.dirichlet(np.ones(states) * conc, size=frames)
+            .astype(np.float32) + np.finfo(np.float32).tiny)
+        min_chunk = int(rng.integers(1, 50))
+        threshold = float(rng.uniform(0.05, 0.9))
+
+        candidates = entropy(obs.T) < threshold
+        expected, i = [], min_chunk
+        while i < frames:
+            if candidates[i] and candidates[i - 1]:
+                expected.append(i)
+                i += min_chunk
+            else:
+                i += 1
+
+        got = split(obs, min_chunk_size=min_chunk,
+                    entropy_threshold=threshold)
+        assert got == expected, (trial, min_chunk, threshold)

@@ -95,3 +95,31 @@ def test_dense_random_matches_oracle_tpu():
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got, expected)
+
+
+@requires_tpu
+def test_constant_transition_fast_path_tpu():
+    """The width-0 floor-band fast path (uniform default transition)
+    through the real Mosaic lowering"""
+    from torbi_tpu.ops import band as band_ops
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode
+
+    rng = np.random.default_rng(11)
+    tiny = np.finfo(np.float32).tiny
+    batch, frames, states = 4, 40, 200
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    trans = np.full(
+        (states, states), np.float32(np.log(1.0 / states)), dtype=np.float32)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.array([frames, frames - 13, 1, frames], dtype=np.int32)
+
+    assert band_ops.detect_band(jnp.asarray(trans)) == (
+        0, 0, float(np.float32(np.log(1.0 / states))))
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)

@@ -62,28 +62,33 @@ def split(
     min_chunk_size=None,
     entropy_threshold=None,
 ) -> List[int]:
-    """Find split points of minimum entropy"""
+    """Find split points: pairs of adjacent low-entropy frames at least
+    ``min_chunk_size`` apart (same boundaries as the reference's frame-by-
+    frame scan, reference chunk.py:57-78, computed by vectorized search --
+    a python loop over a million-frame sequence is itself a bottleneck).
+    """
     if min_chunk_size is None:
         min_chunk_size = torbi_tpu.MIN_CHUNK_SIZE
     if entropy_threshold is None:
         entropy_threshold = torbi_tpu.ENTROPY_THRESHOLD
     observation = np.asarray(observation).T  # (states, frames)
+    frames = observation.shape[-1]
 
-    # Find low-entropy time frames
+    # Frames i where both i and i-1 are below the entropy threshold
     candidates = entropy(observation) < entropy_threshold
+    splittable = np.flatnonzero(candidates[1:] & candidates[:-1]) + 1
 
-    # Split at pairs of adjacent low-entropy frames >= min_chunk_size apart
-    # (reference chunk.py:57-78)
+    # Greedy selection: each split is the first splittable frame at least
+    # min_chunk_size after the previous one (frame 0 to start)
     split_points = []
-    i = min_chunk_size
-    while i < observation.shape[-1]:
-        if candidates[i] and candidates[i - 1]:
-            split_points.append(i)
-            i += min_chunk_size
-        else:
-            i += 1
-
-    return split_points
+    position = min_chunk_size
+    while True:
+        index = np.searchsorted(splittable, position)
+        if index == len(splittable) or splittable[index] >= frames:
+            return split_points
+        point = int(splittable[index])
+        split_points.append(point)
+        position = point + min_chunk_size
 
 
 def entropy(observation):

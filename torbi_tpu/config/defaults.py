@@ -88,6 +88,11 @@ BAND_CORE_WIDTH = 63
 # to a single device.
 AUTO_SHARD = True
 
+# Backtrace kernel flavor: True lowers the frame chase as a fori_loop
+# (Mosaic program ~100x smaller -> compiles in seconds instead of many
+# minutes, identical math); False keeps the fully unrolled variant.
+BACKTRACE_LOOP = True
+
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
 FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 10240, 16384)

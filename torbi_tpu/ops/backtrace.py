@@ -130,12 +130,88 @@ def _backtrace_kernel(
                 step(bnd_ref[:, 7, :], t0, 0)
 
 
+def _backtrace_kernel_loop(
+        postseq_ref,   # (BT, FT, S) float32 block at (n, rev)
+        bnd_ref,       # (BT, 8, S) float32 block of post_seq holding frame
+                       # t0 - 1 at local sublane 7 (see in_specs)
+        trans_ref,     # (S, S) float32, resident
+        seed_ref,      # (BT, 1) int32 block at (n, 0)
+        frames_ref,    # (BT, 1) int32 block at (n, 0)
+        out_ref,       # out: (BT, FT) int32 block at (n, rev)
+        idx_ref,       # scratch: (BT, 1) int32 chase index, carried over grid
+        rows_ref,      # scratch: (BT, S) float32 gathered transition rows
+        col_ref,       # scratch: (FT, BT) int32 transposed decoded columns
+        *,
+        states_padded,
+        batch_tile,
+        frame_tile,
+        n_frame_tiles):
+    """Chase kernel with a fori_loop over the frame axis.
+
+    Identical chase math to the unrolled kernel, but the 128-step frame loop
+    is a loop in the lowered program instead of 128 unrolled bodies -- the
+    Mosaic program is ~frame_tile times smaller, which turns a
+    many-minutes (sometimes pathological) kernel compile into seconds.
+    Decoded indices are staged in a (FT, BT) scratch via dynamic SUBLANE
+    stores (dynamic lane stores are not supported), then transposed once
+    per block into the output.
+    """
+    nf = pl.program_id(1)
+    t0 = (n_frame_tiles - 1 - nf) * frame_tile
+
+    lane = lax.broadcasted_iota(
+        jnp.int32, (batch_tile, states_padded), 1)
+    bf = frames_ref[...]  # (BT, 1)
+
+    @pl.when(nf == 0)
+    def _seed():
+        idx_ref[...] = seed_ref[...]
+
+    # Position t0 + FT - 1 receives the index pending from the later block
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.transpose(idx_ref[...])
+
+    def step(prev_post, t, k):
+        """One chase step t (stages position t - 1 at scratch sublane
+        k - 1): predecessor = lowest-index argmax of prev_post + trans"""
+        for b in range(batch_tile):
+            ib = idx_ref[b, 0]
+            rows_ref[b:b + 1, :] = trans_ref[pl.ds(ib, 1), :]
+        v = prev_post + rows_ref[...]
+        mx = jnp.max(v, axis=1, keepdims=True)
+        pred = jnp.min(
+            jnp.where(v == mx, lane, _INT_MAX), axis=1, keepdims=True)
+        new_idx = jnp.where(t <= bf - 1, pred.astype(jnp.int32), idx_ref[...])
+        idx_ref[...] = new_idx
+        return new_idx
+
+    def body(i, carry):
+        # i = 0 .. frame_tile - 2 maps to k = frame_tile - 1 .. 1
+        k = frame_tile - 1 - i
+        new_idx = step(postseq_ref[:, k - 1, :], t0 + k, k)
+        col_ref[pl.ds(k - 1, 1), :] = jnp.transpose(new_idx)
+        return carry
+
+    lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
+
+    if n_frame_tiles > 1:
+        # t = t0: the predecessor posterior t0 - 1 lives at sublane 7 of
+        # the previous 8-frame block of post_seq; skipped for t0 = 0
+        @pl.when(t0 > 0)
+        def _boundary():
+            step(bnd_ref[:, 7, :], t0, 0)
+
+    out_ref[...] = jnp.transpose(col_ref[...])
+
+
 @functools.lru_cache(maxsize=64)
 def _build_backtrace(batch, frames, states_padded, interpret=False):
+    import torbi_tpu
+
     batch_tile, frame_tile = _pick_tiles(batch, frames, states_padded)
     n_frame_tiles = frames // frame_tile
+    looped = getattr(torbi_tpu, 'BACKTRACE_LOOP', True)
     kernel = functools.partial(
-        _backtrace_kernel,
+        _backtrace_kernel_loop if looped else _backtrace_kernel,
         states_padded=states_padded,
         batch_tile=batch_tile,
         frame_tile=frame_tile,
@@ -190,7 +266,8 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((batch_tile, 1), jnp.int32),
             pltpu.VMEM((batch_tile, states_padded), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((frame_tile, batch_tile), jnp.int32)]
+             if looped else []),
         interpret=interpret)
 
     def backtrace(post_seq, transition_padded, posterior, batch_frames):

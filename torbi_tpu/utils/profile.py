@@ -133,6 +133,12 @@ def time_chained(build_step, iters=8, warmup=True):
     return elapsed / iters
 
 
+def _log(message):
+    import sys
+
+    print(f'[profile] {message}', file=sys.stderr, flush=True)
+
+
 def time_submissions(fn, fetch_scalar, iters=8):
     """Steady-state seconds per call for an already-compiled program.
 
@@ -142,14 +148,18 @@ def time_submissions(fn, fetch_scalar, iters=8):
     last result via ``fetch_scalar(result) -> jax scalar``. One device_get
     per measurement -- no per-iteration sync, no new program compiles.
     """
+    _log('warmup dispatch (may compile)...')
     result = fn()
+    _log('warmup fetch...')
     float(np.asarray(fetch_scalar(result)))  # warmup + handshake
+    _log(f'timing {iters} queued submissions...')
     start = time.perf_counter()
     result = None
     for _ in range(iters):
         result = fn()
     float(np.asarray(fetch_scalar(result)))
     elapsed = time.perf_counter() - start
+    _log(f'done: {elapsed / iters * 1e3:.2f} ms/call')
     return elapsed / iters
 
 
@@ -199,10 +209,12 @@ def time_stages(observation, batch_frames, transition, initial, iters=8):
         return viterbi_forward_pallas(
             obs, bf, trans_p, init_p, interpret=interpret)
 
+    _log('stage: forward kernel')
     forward_ms = time_submissions(
         forward, lambda r: r[1][0, 0], iters) * 1e3
 
     # Backtrace over a fixed forward result
+    _log('stage: backtrace kernel')
     post_seq, posterior = jax.block_until_ready(forward())
 
     def backtrace():
@@ -211,6 +223,8 @@ def time_stages(observation, batch_frames, transition, initial, iters=8):
 
     backtrace_ms = time_submissions(
         backtrace, lambda r: r[0, 0], iters) * 1e3
+
+    _log('stage: staged pipeline')
 
     # Full staged pipeline (what dispatch.decode dispatches per batch)
     def pipeline():
