@@ -62,9 +62,10 @@ def main():
             'platform': jax.default_backend()},
         'stages_ms': {k: round(v, 3) for k, v in stages.items()},
         'speed_of_light': {
-            'vpu_ideal_ms': round(sol['vpu_ideal_ms'], 3),
+            'permute_ideal_ms': round(sol['permute_ideal_ms'], 3),
+            'alu_ideal_ms': round(sol['alu_ideal_ms'], 3),
             'hbm_ideal_ms': round(sol['hbm_ideal_ms'], 3),
-            'vpu_utilization': round(sol['vpu_utilization'], 4)},
+            'utilization': round(sol['utilization'], 4)},
         'throughput': {
             'pipeline_timesteps_per_s': round(
                 timesteps / stages['pipeline_ms'] * 1e3),
@@ -98,9 +99,10 @@ def main():
     for key in ('forward_ms', 'backtrace_ms', 'glue_ms', 'pipeline_ms',
                 'host_ms', 'e2e_ms'):
         print(f"{key[:-3]:<14}{report['stages_ms'][key]:>10.2f}")
-    print(f"\nVPU speed-of-light: ideal {sol['vpu_ideal_ms']:.1f} ms "
-          f"(HBM floor {sol['hbm_ideal_ms']:.1f} ms) -> "
-          f"{sol['vpu_utilization'] * 100:.1f}% of 4-issue VPU peak")
+    print(f"\nspeed-of-light: permute {sol['permute_ideal_ms']:.1f} ms / "
+          f"ALU {sol['alu_ideal_ms']:.1f} ms / HBM {sol['hbm_ideal_ms']:.1f}"
+          f" ms -> {sol['vpu_utilization'] * 100:.1f}% of the binding "
+          f"(permute-port) ideal")
     tp = report['throughput']
     print(f"throughput: pipeline {tp['pipeline_timesteps_per_s']:,} ts/s, "
           f"e2e {tp['e2e_timesteps_per_s']:,} ts/s")

@@ -38,7 +38,8 @@ FRAME_TILE = 8
 NEG_INF = float('-inf')
 
 
-def build_kernel(variant, batch, frames, states, width, n_acc=4):
+def build_kernel(variant, batch, frames, states, width, n_acc=4,
+                 batch_tile=BATCH_TILE):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -46,6 +47,41 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4):
 
     lo = -(width // 2)
     shift0 = (-lo) % states
+
+    def kernel_loopk(obs_ref, band_ref, post_ref):
+        # Frame axis as a fori_loop: the lowered program is FRAME_TILE x
+        # smaller (compile time), same static-shift rolls per offset
+        from jax import lax
+
+        tb = pl.program_id(1)
+
+        def body(k, carry):
+            t = tb * FRAME_TILE + k
+
+            @pl.when(t == 0)
+            def _init():
+                post_ref[...] = obs_ref[:, 0, :]
+
+            @pl.when(t > 0)
+            def _step():
+                post = post_ref[...]
+                accs = [
+                    jnp.full((batch_tile, states), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for d in range(width):
+                    v = pltpu.roll(post, (shift0 - d) % states, 1)
+                    v = v + band_ref[d:d + 1, :]
+                    accs[d % n_acc] = jnp.maximum(accs[d % n_acc], v)
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                obs_k = obs_ref[:, pl.ds(k, 1), :].reshape(
+                    batch_tile, states)
+                post_ref[...] = obs_k + m
+
+            return carry
+
+        lax.fori_loop(0, FRAME_TILE, body, 0)
 
     def kernel(obs_ref, band_ref, post_ref):
         tb = pl.program_id(1)
@@ -61,8 +97,59 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4):
             def _step(k=k):
                 post = post_ref[...]
                 accs = [
-                    jnp.full((BATCH_TILE, states), NEG_INF, jnp.float32)
+                    jnp.full((batch_tile, states), NEG_INF, jnp.float32)
                     for _ in range(n_acc)]
+                if variant == 'ushare2':
+                    # ushare with the vreg rotation expressed as aligned
+                    # slices + concat (no roll-of-roll chains; plain
+                    # roll-of-roll proved NOT free: 96.6 ms, = full)
+                    groups = {}
+                    for d in range(width):
+                        s = (shift0 - d) % states
+                        groups.setdefault(s % 128, []).append((d, s))
+                    i = 0
+                    for u, items in groups.items():
+                        base = pltpu.roll(post, u, 1)
+                        for d, s in items:
+                            q = (s - u) % states
+                            if q == 0:
+                                v = base
+                            else:
+                                cut = (states - q) % states
+                                v = jnp.concatenate(
+                                    [base[:, cut:], base[:, :cut]], axis=1)
+                            v = v + band_ref[d:d + 1, :]
+                            accs[i % n_acc] = jnp.maximum(
+                                accs[i % n_acc], v)
+                            i += 1
+                    m = accs[0]
+                    for acc in accs[1:]:
+                        m = jnp.maximum(m, acc)
+                    post_ref[...] = obs_ref[:, k, :] + m
+                    return
+                if variant == 'ushare':
+                    # One true roll per distinct (shift mod 128); offsets
+                    # sharing it differ by a vreg-granular (multiple-of-128)
+                    # rotate, which the vregroll result suggests is ~free
+                    groups = {}
+                    for d in range(width):
+                        s = (shift0 - d) % states
+                        groups.setdefault(s % 128, []).append((d, s))
+                    i = 0
+                    for u, items in groups.items():
+                        base = pltpu.roll(post, u, 1)
+                        for d, s in items:
+                            q = (s - u) % states
+                            v = base if q == 0 else pltpu.roll(base, q, 1)
+                            v = v + band_ref[d:d + 1, :]
+                            accs[i % n_acc] = jnp.maximum(
+                                accs[i % n_acc], v)
+                            i += 1
+                    m = accs[0]
+                    for acc in accs[1:]:
+                        m = jnp.maximum(m, acc)
+                    post_ref[...] = obs_ref[:, k, :] + m
+                    return
                 for d in range(width):
                     if variant == 'full':
                         v = pltpu.roll(
@@ -92,13 +179,13 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4):
                 post_ref[...] = obs_ref[:, k, :] + m
 
     width_padded = ((width + 7) // 8) * 8
-    grid = (batch // BATCH_TILE, frames // FRAME_TILE)
+    grid = (batch // batch_tile, frames // FRAME_TILE)
     call = pl.pallas_call(
-        kernel,
+        kernel_loopk if variant == 'loopk' else kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (BATCH_TILE, FRAME_TILE, states),
+                (batch_tile, FRAME_TILE, states),
                 lambda n, t: (n, t, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -107,7 +194,7 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4):
                 memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (BATCH_TILE, states),
+            (batch_tile, states),
             lambda n, t: (n, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, states), jnp.float32),
@@ -115,6 +202,135 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4):
             vmem_limit_bytes=112 * 1024 * 1024),
     )
     return jax.jit(lambda obs, band: call(obs, band))
+
+
+def build_kernel_mxushift(batch, frames, states, width, n_acc=4,
+                          batch_tile=BATCH_TILE, mxu_k=None):
+    """mxushift needs the one-hot shift matrices as an extra input.
+
+    mxu_k=None: every candidate shifts via MXU matmuls. mxu_k=K (hybrid):
+    K residue classes shift via MXU while the rest use one true roll per
+    residue plus free vreg rotations (the ushare scheme) -- permute port,
+    ALUs, and MXU all loaded in parallel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lo = -(width // 2)
+    shift0 = (-lo) % states
+    n_vregs = states // 128
+
+    # Partition residue classes: mxu residues shift by matmul, the rest
+    # by one true roll + free vreg rotations
+    residues = {}
+    for d in range(width):
+        s = (shift0 - d) % states
+        residues.setdefault(s % 128, []).append((d, s))
+    res_list = list(residues.items())
+    if mxu_k is None:
+        mxu_set = set(residues)
+    else:
+        # Prefer single-candidate residues for the MXU (less reuse lost)
+        singles = [u for u, g in res_list if len(g) == 1]
+        mxu_set = set(singles[:mxu_k])
+
+    def kernel(obs_ref, band_ref, mats_ref, post_ref):
+        tb = pl.program_id(1)
+
+        def mxu_shift(post, s):
+            q_vreg, u_lane = divmod(s, 128)
+            a_mat = mats_ref[u_lane, 0]
+            b_mat = mats_ref[u_lane, 1]
+            parts = []
+            for i in range(n_vregs):
+                x1 = post[:, ((i - q_vreg) % n_vregs) * 128:
+                          ((i - q_vreg) % n_vregs) * 128 + 128]
+                x2 = post[:, ((i - q_vreg - 1) % n_vregs) * 128:
+                          ((i - q_vreg - 1) % n_vregs) * 128 + 128]
+                parts.append(
+                    jnp.dot(x1, a_mat,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(x2, b_mat,
+                              preferred_element_type=jnp.float32))
+            return jnp.concatenate(parts, axis=1)
+
+        for k in range(FRAME_TILE):
+            t = tb * FRAME_TILE + k
+
+            @pl.when(t == 0)
+            def _init(k=k):
+                post_ref[...] = obs_ref[:, k, :]
+
+            @pl.when(t > 0)
+            def _step(k=k):
+                post = post_ref[...]
+                accs = [
+                    jnp.full((batch_tile, states), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                index = 0
+                for u, group in res_list:
+                    if u in mxu_set:
+                        for d, s in group:
+                            v = mxu_shift(post, s)
+                            v = v + band_ref[d:d + 1, :]
+                            accs[index % n_acc] = jnp.maximum(
+                                accs[index % n_acc], v)
+                            index += 1
+                    else:
+                        base = pltpu.roll(post, u, 1)
+                        for d, s in group:
+                            q = (s - u) % states
+                            v = base if q == 0 else pltpu.roll(base, q, 1)
+                            v = v + band_ref[d:d + 1, :]
+                            accs[index % n_acc] = jnp.maximum(
+                                accs[index % n_acc], v)
+                            index += 1
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                post_ref[...] = obs_ref[:, k, :] + m
+
+    width_padded = ((width + 7) // 8) * 8
+    grid = (batch // batch_tile, frames // FRAME_TILE)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (batch_tile, FRAME_TILE, states),
+                lambda n, t: (n, t, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (width_padded, states),
+                lambda n, t: (0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (128, 2, 128, 128),
+                lambda n, t: (0, 0, 0, 0),
+                pipeline_mode=pl.Buffered(buffer_count=1),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch_tile, states),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, states), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+    )
+
+    mats = np.zeros((128, 2, 128, 128), np.float32)
+    for u in range(128):
+        for b in range(128):
+            a = b - u
+            if a >= 0:
+                mats[u, 0, a, b] = 1.0
+            else:
+                mats[u, 1, a + 128, b] = 1.0
+    import jax.numpy as jnp2
+    mats_dev = jnp2.asarray(mats)
+    return jax.jit(lambda obs, band: call(obs, band, mats_dev))
 
 
 def main():
@@ -145,11 +361,25 @@ def main():
     candidates = args.batch * args.frames * args.width * args.states
     results = {}
     for spec in args.variants.split(','):
-        variant, _, acc = spec.partition(':')
-        n_acc = int(acc) if acc else 4
+        # spec syntax: name[:n_acc[:batch_tile]]
+        parts = spec.split(':')
+        variant = parts[0]
+        n_acc = int(parts[1]) if len(parts) > 1 and parts[1] else 4
+        batch_tile = int(parts[2]) if len(parts) > 2 else BATCH_TILE
         t0 = time.perf_counter()
-        fn = build_kernel(
-            variant, args.batch, args.frames, args.states, args.width, n_acc)
+        if variant == 'mxushift':
+            fn = build_kernel_mxushift(
+                args.batch, args.frames, args.states, args.width, n_acc,
+                batch_tile)
+        elif variant == 'hybrid':
+            # spec hybrid:K -> K residues on the MXU (n_acc slot reused)
+            fn = build_kernel_mxushift(
+                args.batch, args.frames, args.states, args.width, 4,
+                batch_tile, mxu_k=n_acc)
+        else:
+            fn = build_kernel(
+                variant, args.batch, args.frames, args.states, args.width,
+                n_acc, batch_tile)
         sec = time_submissions(
             lambda: fn(obs, band), lambda r: r[0, 0], args.iters)
         compile_s = time.perf_counter() - t0

@@ -154,6 +154,33 @@ def test_constant_transition_fast_path():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_band_kernel_folded_epsilon_conversion():
+    """log conversion + epsilon stabilization folded into the band kernel's
+    observation stream decode exactly like host-side conversion"""
+    rng = np.random.default_rng(41)
+    batch, frames, states, halfwidth = 3, 20, 48, 4
+    tiny = np.finfo(np.float32).tiny
+    probs = rng.dirichlet(
+        np.ones(states), size=(batch, frames)).astype(np.float32)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames, 7, frames], dtype=np.int32)
+
+    # Expected: the oracle on the SAME conversion arithmetic (jnp ops, so
+    # the comparison isolates the decode, not libm-vs-XLA transcendentals)
+    converted = np.asarray(jnp.log(jnp.exp(jnp.log(probs)) + tiny))
+    expected = oracle.viterbi_numpy(converted, bf, trans, init)
+
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(probs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', log_input=False,
+        apply_epsilon=True))
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_band_detection_rejects_dense():
     from torbi_tpu.ops import band as band_ops
     rng = np.random.default_rng(3)
@@ -242,50 +269,3 @@ def test_librosa_style_oracle_agrees():
     got = oracle.viterbi_numpy(
         obs, np.array([frames]), trans, init)[0]
     np.testing.assert_array_equal(got, path64)
-
-
-def test_gated_tail_band_kernel_matches_dense(monkeypatch):
-    """The (experimental, off-by-default) gated-tail kernel is value-exact:
-    tail jumps outside the speculative core must still decode exactly"""
-    import torbi_tpu
-    from torbi_tpu.ops import band as band_ops
-
-    monkeypatch.setattr(torbi_tpu, 'BAND_TAIL_GATING', True)
-    rng = np.random.default_rng(31)
-    batch, frames, states, halfwidth = 8, 40, 256, 55  # width 111 > 95
-    tiny = np.finfo(np.float32).tiny
-
-    # Peaked observations whose centers mostly drift slowly but sometimes
-    # jump by ~halfwidth bins -- exercising both the skip and the exact-tail
-    # paths of the gated kernel
-    obs = np.empty((batch, frames, states), dtype=np.float32)
-    for b in range(batch):
-        center = rng.integers(0, states)
-        for t in range(frames):
-            step = rng.integers(-3, 4)
-            if rng.random() < 0.15:
-                step = rng.integers(-halfwidth, halfwidth + 1)
-            center = int(np.clip(center + step, 0, states - 1))
-            logits = -0.5 * (
-                (np.arange(states) - center) / 2.0) ** 2
-            row = logits - np.log(np.exp(logits).sum())
-            obs[b, t] = np.log(np.exp(row.astype(np.float32)) + tiny)
-
-    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
-    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
-    trans = trans / trans.sum(axis=1, keepdims=True)
-    trans = np.log(trans.astype(np.float32) + tiny)
-    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
-    bf = np.full(batch, frames, dtype=np.int32)
-    bf[1] = 1
-    bf[2] = frames - 9
-
-    detected = band_ops.detect_band(jnp.asarray(trans))
-    assert detected is not None
-    assert detected[1] - torbi_tpu.BAND_CORE_WIDTH >= 32  # gated path
-
-    expected = oracle.viterbi_numpy(obs, bf, trans, init)
-    got = np.asarray(dispatch_decode(
-        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
-        jnp.asarray(init), backend='pallas', finite_observation=True))
-    np.testing.assert_array_equal(got, expected)

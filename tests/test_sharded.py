@@ -72,6 +72,35 @@ def test_auto_shard_default_path(backend):
     np.testing.assert_array_equal(got, expected)
 
 
+def test_auto_shard_band_kernel():
+    """Auto-sharding composes with the banded fast path (each shard runs
+    the band kernel; detection caches shared across shards)"""
+    from torbi_tpu.ops import band as band_ops
+    from torbi_tpu.ops import dispatch
+
+    rng = np.random.default_rng(21)
+    batch, frames, states, halfwidth = 64, 10, 24, 3
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+    bf[3] = 2
+
+    trans_j = jnp.asarray(trans)
+    assert band_ops.detect_band(trans_j) is not None
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch.decode(
+        jnp.asarray(obs), jnp.asarray(bf), trans_j, jnp.asarray(init),
+        backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_auto_shard_declines_small_batches():
     from torbi_tpu.ops import dispatch
 

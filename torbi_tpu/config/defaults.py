@@ -71,16 +71,16 @@ USE_BAND_KERNEL = True
 # banded kernel is preferred over the dense kernel
 BAND_MAX_FRACTION = 0.5
 
-# Speculative gated-tail band kernel: run the full in-band recursion only
-# over BAND_CORE_WIDTH central diagonal offsets, and execute the tail
-# offsets per 384-lane unit only when an exact upper bound says they could
-# matter (value-exact; see ops/band.py). Off by default: although ~80% of
-# unit-sides skip on peaked data, every per-unit source extraction Mosaic
-# offers -- dynamic-shift rotates and static unaligned lane slices alike --
-# lowers ~5x slower than the unconditional kernel's full-width rolls on
-# v5e, so the skipped work never pays for the extraction cost.
-BAND_TAIL_GATING = False
-BAND_CORE_WIDTH = 63
+# NOTE (negative result): a speculative gated-tail band kernel -- full
+# recursion over a narrow core of diagonal offsets, tail offsets executed
+# per 128/384-lane unit only when an exact bound said they could matter --
+# was implemented and bit-exact, but always LOST on v5e: both the tail
+# extraction (unaligned lane slices) and the sliding-max bounds are
+# permute-port traffic, the very resource the band kernel is bound by
+# (~1 vreg/cycle vs ~4 ALU ops/cycle). Roll-sharing across (shift mod
+# 128) residue classes and one-hot matmul shifts on the MXU also failed
+# (measured in scripts/kernel_lab.py); the per-offset roll loop in
+# ops/band.py is at the permute-port floor for this algorithm.
 
 # Shard the batch axis over all local devices automatically whenever more
 # than one device is visible and the batch is large enough to feed them

@@ -189,13 +189,25 @@ def _band_kernel(
         states_padded,
         lo,
         width,
-        floor):
+        floor,
+        log_input=True,
+        apply_epsilon=False):
     tb = pl.program_id(1)
 
     def obs_col(k):
         # Observations stream in unpadded (saves an XLA pad copy of the
-        # largest input); lane-pad to the padded state count in-register
+        # largest input); lane-pad to the padded state count in-register.
+        # The probability->log conversion and the reference's epsilon
+        # stabilization (torbi/core.py:188-197: log, then exp/+tiny/log,
+        # exactly in that order for bitwise parity) fold into the stream
+        # -- in-register VPU work instead of an extra full-size HBM
+        # read+write pass before the kernel.
         col = obs_ref[:, k, :]
+        if not log_input:
+            col = jnp.log(col)
+        if apply_epsilon:
+            col = jnp.log(
+                jnp.exp(col) + jnp.float32(jnp.finfo(jnp.float32).tiny))
         if states_in == states_padded:
             return col
         pad = jnp.full(
@@ -223,12 +235,21 @@ def _band_kernel(
         def _step(k=k, t=t):
             post = post_ref[...]  # (8, S)
 
-            # In-band max via rolled posterior windows. Statically unrolled
-            # with an independent roll per offset, and the running max split
-            # over 4 interleaved accumulators so the reduction is 4 short
-            # dependency chains instead of one width-long chain.
-            # Wrap-around lanes are masked by the -inf band-matrix edges
-            # (build_band_matrix), so circular rolls are exact.
+            # In-band max via rolled posterior windows: one full-width
+            # lane-roll, broadcast-add, and max per diagonal offset,
+            # statically unrolled. MEASURED FLOOR (scripts/kernel_lab.py,
+            # headline shape): the v5e permute port retires ~1 vreg/cycle
+            # while the ALUs retire ~4 vreg-ops/cycle, so the W rolls --
+            # not the adds/maxes -- are the critical resource (roll+add+max
+            # 95.5 ms vs add+max alone 39.9 ms). Attempts to cut roll
+            # traffic all failed: sharing one roll per (shift mod 128)
+            # residue with vreg-granular rotations of the result (rolls or
+            # aligned slice+concat) lowers to the same permute work, and
+            # one-hot matmul shifts on the idle MXU are ~8x slower. The
+            # interleaved accumulators keep the reduction in short
+            # dependency chains; wrap-around lanes are masked by the -inf
+            # band-matrix edges (build_band_matrix), so circular rolls are
+            # exact.
             m = None
             if width:
                 n_acc = min(4, width)
@@ -265,204 +286,22 @@ def _band_kernel(
             postseq_ref[:, k, :] = post_ref[...]
 
 
-def _gate_pad(width, lo):
-    """Lane padding of the gated kernel's posterior scratch: must cover the
-    leftmost source (pad >= -lo), and the last unit's aligned window end
-    (pad >= lo + width + 255 when lo > 0)"""
-    return _round_up(width + abs(lo) + 256, 128)
-
-
-def _pick_gate_unit(states_padded):
-    for unit in (384, 256, 128):
-        if states_padded % unit == 0:
-            return unit
-    raise ValueError(f'states_padded={states_padded} not a multiple of 128')
-
-
-def _band_kernel_gated(
-        obs_ref,       # (8, 8, S_in) VMEM block at (n, t); S_in unpadded
-        band_ref,      # (width_padded, S) VMEM, resident
-        init_ref,      # (1, S) VMEM, resident
-        frames_ref,    # (8, 1) int32 VMEM block at (n, 0)
-        cmax_ref,      # (8, S) VMEM, resident: rows 0/1 = per-destination
-                       # max band value over the left/right tail offsets
-        postseq_ref,   # out: (8, 8, S) float32 block at (n, t)
-        post_ref,      # out: (8, S) float32 block at (n, 0); also the carry
-        padpost_ref,   # scratch: (8, PAD + S + PAD) float32
-        m_ref,         # scratch: (8, S) float32
-        *,
-        states_in,
-        states_padded,
-        lo,
-        width,
-        floor,
-        core_w,
-        frame_tile):
-    """Speculative core + gated tails (value-exact).
-
-    The full in-band max runs only over the ``core_w`` central offsets.
-    For the tail offsets, a per-destination upper bound
-    ``sliding_max(posterior) + max(tail band column)`` is compared against
-    the running max; a 384-lane unit executes its exact tail pass only when
-    some destination's bound exceeds it. Skipping is exact for *values*
-    (every skipped candidate is dominated), and values are all the
-    backtrace kernel needs -- argmax is re-derived along the realized path.
-    On peaked posteriorgrams ~80%+ of unit-sides skip.
-    """
-    tb = pl.program_id(1)
-    c0 = (width - core_w) // 2
-    c1 = c0 + core_w
-    kl, kr = c0, width - c1
-    unit = _pick_gate_unit(states_padded)
-    n_units = states_padded // unit
-    shift0 = (-lo) % states_padded
-    pad = _gate_pad(width, lo)
-
-    def obs_col(k):
-        col = obs_ref[:, k, :]
-        if states_in == states_padded:
-            return col
-        pad = jnp.full(
-            (BATCH_TILE, states_padded - states_in), NEG_INF, jnp.float32)
-        return jnp.concatenate([col, pad], axis=1)
-
-    def roll_left(x, s):
-        # out[j] = x[(j + s) mod S]
-        return pltpu.roll(x, (states_padded - s) % states_padded, 1)
-
-    def sliding_max(x, k_width):
-        """g[j] = max(x[j .. j+k_width-1]) (circular; superset at wrap)"""
-        g = x
-        s = 1
-        while 2 * s <= k_width:
-            g = jnp.maximum(g, roll_left(g, s))
-            s *= 2
-        if s < k_width:
-            g = jnp.maximum(g, roll_left(g, k_width - s))
-        return g
-
-    block_max = frames_ref[0, 0]
-    for b in range(1, BATCH_TILE):
-        block_max = jnp.maximum(block_max, frames_ref[b, 0])
-    frames_col = frames_ref[...]
-
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, tb == 0))
-    def _edges():
-        # -inf guard lanes around the posterior scratch; written once, the
-        # per-frame copy only touches the middle
-        padpost_ref[...] = jnp.full(
-            padpost_ref.shape, NEG_INF, jnp.float32)
-
-    for k in range(frame_tile):
-        t = tb * frame_tile + k
-
-        @pl.when(t == 0)
-        def _init(k=k):
-            post0 = obs_col(0) + init_ref[...]
-            post_ref[...] = post0
-            postseq_ref[:, k, :] = post0
-
-        @pl.when(jnp.logical_and(t > 0, t < block_max))
-        def _step(k=k, t=t):
-            post = post_ref[...]  # (8, S)
-            padpost_ref[:, pad:pad + states_padded] = post
-
-            # Core offsets, exactly as the ungated kernel
-            n_acc = min(4, core_w)
-            accs = [
-                jnp.full((BATCH_TILE, states_padded), NEG_INF, jnp.float32)
-                for _ in range(n_acc)]
-            for d in range(c0, c1):
-                rolled = pltpu.roll(post, (shift0 - d) % states_padded, 1)
-                accs[(d - c0) % n_acc] = jnp.maximum(
-                    accs[(d - c0) % n_acc], rolled + band_ref[d:d + 1, :])
-            m = accs[0]
-            for acc in accs[1:]:
-                m = jnp.maximum(m, acc)
-
-            if floor is not None:
-                gmax = jnp.max(post, axis=1, keepdims=True)
-                m = jnp.maximum(m, gmax + floor)
-
-            # Tail bounds: window max of the posterior over each tail's
-            # source range plus the tail's max band value per destination
-            w_left = pltpu.roll(sliding_max(post, kl), shift0, 1)
-            w_right = pltpu.roll(
-                sliding_max(post, kr),
-                (shift0 - c1) % states_padded, 1)
-            need_l = (w_left + cmax_ref[0:1, :]) > m
-            need_r = (w_right + cmax_ref[1:2, :]) > m
-
-            m_ref[...] = m
-
-            for d0, d1, need in ((0, c0, need_l), (c1, width, need_r)):
-                if d0 == d1:
-                    continue
-                for u in range(n_units):
-                    base = u * unit
-
-                    @pl.when(jnp.any(need[:, base:base + unit]))
-                    def _tail(base=base, d0=d0, d1=d1):
-                        # Statically unrolled: static unaligned lane slices
-                        # of the padded posterior lower to cheap relayouts
-                        # (dynamic-shift rotates here proved ~5x slower)
-                        acc = None
-                        for d in range(d0, d1):
-                            off = pad + base + lo + d
-                            v = (
-                                padpost_ref[:, off:off + unit]
-                                + band_ref[d:d + 1, base:base + unit])
-                            acc = v if acc is None else jnp.maximum(acc, v)
-                        m_ref[:, base:base + unit] = jnp.maximum(
-                            m_ref[:, base:base + unit], acc)
-
-            valid = t < frames_col
-            new_post = jnp.where(valid, obs_col(k) + m_ref[...], post)
-            post_ref[...] = new_post
-            postseq_ref[:, k, :] = new_post
-
-        @pl.when(jnp.logical_and(t > 0, t >= block_max))
-        def _padded(k=k):
-            postseq_ref[:, k, :] = post_ref[...]
-
-
-def _build_cmax(band_matrix, c0, c1, width):
-    """(8, S) resident input: rows 0/1 = max tail band value per dest"""
-    states_padded = band_matrix.shape[1]
-    neg = jnp.full((states_padded,), NEG_INF, jnp.float32)
-    cmax_l = jnp.max(band_matrix[:c0], axis=0) if c0 > 0 else neg
-    cmax_r = jnp.max(band_matrix[c1:width], axis=0) if width > c1 else neg
-    return jnp.stack(
-        [cmax_l, cmax_r] + [neg] * 6, axis=0)
-
-
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
-                        floor, core_w=None, interpret=False):
+                        floor, interpret=False,
+                        log_input=True, apply_epsilon=False):
     width_padded = max(_round_up(width, 8), 8)
-    gated = core_w is not None
-    # Blocks need a sublane-multiple frame tile; the gated kernel's
-    # statically-unrolled tails make its Mosaic program ~3x the ungated one
     frame_tile = FRAME_TILE
     assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
-    if gated:
-        kernel = functools.partial(
-            _band_kernel_gated,
-            states_in=states_in,
-            states_padded=states_padded,
-            lo=lo,
-            width=width,
-            floor=floor,
-            core_w=core_w,
-            frame_tile=frame_tile)
-    else:
-        kernel = functools.partial(
-            _band_kernel,
-            states_in=states_in,
-            states_padded=states_padded,
-            lo=lo,
-            width=width,
-            floor=floor)
+    kernel = functools.partial(
+        _band_kernel,
+        states_in=states_in,
+        states_padded=states_padded,
+        lo=lo,
+        width=width,
+        floor=floor,
+        log_input=log_input,
+        apply_epsilon=apply_epsilon)
     grid = (batch // BATCH_TILE, frames // frame_tile)
     in_specs = [
         pl.BlockSpec(
@@ -482,12 +321,6 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             lambda n, t: (n, 0),
             memory_space=pltpu.VMEM),
     ]
-    if gated:
-        in_specs.append(
-            pl.BlockSpec(
-                (8, states_padded),
-                lambda n, t: (0, 0),
-                memory_space=pltpu.VMEM))
     out_specs = [
         pl.BlockSpec(
             (BATCH_TILE, frame_tile, states_padded),
@@ -517,42 +350,23 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
-        scratch_shapes=(
-            [
-                pltpu.VMEM(
-                    (BATCH_TILE, 2 * _gate_pad(width, lo) + states_padded),
-                    jnp.float32),
-                pltpu.VMEM((BATCH_TILE, states_padded), jnp.float32),
-            ] if gated else []),
         interpret=interpret)
 
-    if gated:
-        c0 = (width - core_w) // 2
-
-        def forward(observation, batch_frames, transition_padded, initial):
-            band_matrix = build_band_matrix(transition_padded, lo, width)
-            bf = batch_frames.astype(jnp.int32)
-            return call(
-                observation,
-                band_matrix,
-                initial.reshape(1, states_padded),
-                bf.reshape(batch, 1),
-                _build_cmax(band_matrix, c0, c0 + core_w, width))
-    else:
-        def forward(observation, batch_frames, transition_padded, initial):
-            band_matrix = build_band_matrix(transition_padded, lo, width)
-            bf = batch_frames.astype(jnp.int32)
-            return call(
-                observation,
-                band_matrix,
-                initial.reshape(1, states_padded),
-                bf.reshape(batch, 1))
+    def forward(observation, batch_frames, transition_padded, initial):
+        band_matrix = build_band_matrix(transition_padded, lo, width)
+        bf = batch_frames.astype(jnp.int32)
+        return call(
+            observation,
+            band_matrix,
+            initial.reshape(1, states_padded),
+            bf.reshape(batch, 1))
 
     return jax.jit(forward)
 
 
 def viterbi_forward_band(observation, batch_frames, transition_padded,
-                         initial, band, interpret=False):
+                         initial, band, interpret=False,
+                         log_input=True, apply_epsilon=False):
     """Banded Pallas forward pass.
 
     observation may carry an UNPADDED state dimension (the kernel lane-pads
@@ -561,6 +375,10 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
 
     band: (lo, width, floor) from detect_band, measured on the unpadded
     transition.
+
+    ``log_input=False`` and/or ``apply_epsilon=True`` fold the
+    probability->log conversion and the reference epsilon stabilization
+    into the kernel's observation stream (saving a full-size XLA pass).
 
     Returns
         post_seq: (batch, frames, states_padded) float32 posterior columns
@@ -573,13 +391,7 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
     lo, width, floor = band
     batch, frames, states_in = observation.shape
     states_padded = transition_padded.shape[0]
-    # Speculative gated-tail kernel: worth it when the tails are wide enough
-    # to amortize the bound computation
-    core_w = None
-    if (torbi_tpu.BAND_TAIL_GATING
-            and width - torbi_tpu.BAND_CORE_WIDTH >= 32):
-        core_w = torbi_tpu.BAND_CORE_WIDTH
     fwd = _build_band_forward(
-        batch, frames, states_in, states_padded, lo, width, floor, core_w,
-        interpret)
+        batch, frames, states_in, states_padded, lo, width, floor,
+        interpret, log_input, apply_epsilon)
     return fwd(observation, batch_frames, transition_padded, initial)

@@ -120,8 +120,7 @@ def _config_key():
     return (
         tuple(torbi_tpu.FRAME_BUCKETS),
         torbi_tpu.BATCH_PAD_MULTIPLE,
-        torbi_tpu.BAND_TAIL_GATING,
-        torbi_tpu.BAND_CORE_WIDTH,
+        torbi_tpu.BACKTRACE_LOOP,
     )
 
 
@@ -147,13 +146,22 @@ def _build_decode(backend, batch_p, frames_p, states, band, interpret,
     del config_key  # only disambiguates the cache entry
     states_p = _round_up(states, 128)
 
-    def pipeline(observation, batch_frames, transition, initial):
-        obs = observation
+    # The banded kernel folds the probability->log conversion and epsilon
+    # stabilization into its observation stream (in-register, free) -- the
+    # other paths convert with one XLA pass first
+    fold_obs = band is not None and backend != 'xla'
+
+    def convert(obs):
         if not log_input:
             obs = jnp.log(obs)
         if apply_epsilon:
             # Reference stability epsilon (torbi/core.py:193-197)
-            obs = jnp.log(jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
+            obs = jnp.log(
+                jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
+        return obs
+
+    def pipeline(observation, batch_frames, transition, initial):
+        obs = observation if fold_obs else convert(observation)
 
         if backend == 'xla':
             # The scan path needs no state padding; it shares the staged
@@ -173,7 +181,9 @@ def _build_decode(backend, batch_p, frames_p, states, band, interpret,
 
         if band is not None:
             post_seq, posterior = band_ops.viterbi_forward_band(
-                obs, batch_frames, trans, init, band, interpret=interpret)
+                obs, batch_frames, trans, init, band, interpret=interpret,
+                log_input=(log_input or not fold_obs),
+                apply_epsilon=(apply_epsilon and fold_obs))
         else:
             post_seq, posterior = viterbi_forward_pallas(
                 obs, batch_frames, trans, init, interpret=interpret)

@@ -267,23 +267,35 @@ V5E_HBM_GBPS = 819.0
 
 def speed_of_light(batch, frames, states_padded, band, measured_forward_ms,
                    ops_per_candidate=3):
-    """VPU issue-rate model for the banded forward kernel.
+    """Port-level speed-of-light model for the banded forward kernel.
 
-    The in-band recursion executes ``ops_per_candidate`` full-width VPU ops
-    (roll + add + max) per (frame, diagonal offset); utilization is measured
-    candidate-lane throughput over the VPU's peak lane issue rate.
+    Measured on v5e (scripts/kernel_lab.py): the permute port retires ~1
+    vreg/cycle while the ALUs retire ~4 vreg-ops/cycle, so the W full-width
+    lane-rolls per frame -- not the adds/maxes -- are the binding resource.
+    The binding ideal is max(permute, ALU, HBM); utilization is against it.
     """
     width = band[1] if band else states_padded
+    vregs = states_padded // 128
     candidate_lanes = batch * frames * width * states_padded
-    vpu_lane_ops = candidate_lanes * ops_per_candidate
-    peak_lane_ops_per_s = V5E_VPU_LANES * V5E_VPU_ISSUE * V5E_CLOCK_HZ
-    ideal_ms = vpu_lane_ops / peak_lane_ops_per_s * 1e3
+    # Permute port: one roll per offset, `vregs` cycles each, 1/cycle
+    permute_cycles = batch / 8 * frames * width * vregs
+    permute_ms = permute_cycles / V5E_CLOCK_HZ * 1e3
+    # ALUs: add + max per candidate at 4 vreg-ops/cycle
+    alu_cycles = batch / 8 * frames * width * 2 * vregs / V5E_VPU_ISSUE
+    alu_ms = alu_cycles / V5E_CLOCK_HZ * 1e3
     hbm_bytes = batch * frames * states_padded * 4 * 2  # obs in + post out
     hbm_ms = hbm_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
+    binding_ms = max(permute_ms, alu_ms, hbm_ms)
     return {
         'candidate_lanes': candidate_lanes,
-        'vpu_ideal_ms': ideal_ms,
+        'permute_ideal_ms': permute_ms,
+        'alu_ideal_ms': alu_ms,
         'hbm_ideal_ms': hbm_ms,
+        'binding_ideal_ms': binding_ms,
+        'utilization': (
+            binding_ms / measured_forward_ms if measured_forward_ms else 0.0),
+        # Back-compat aliases (older callers/tests)
+        'vpu_ideal_ms': binding_ms,
         'vpu_utilization': (
-            ideal_ms / measured_forward_ms if measured_forward_ms else 0.0),
+            binding_ms / measured_forward_ms if measured_forward_ms else 0.0),
     }
