@@ -53,12 +53,21 @@ def test_native_loader_used_and_correct(tmp_path):
     finally:
         torbi_tpu.BATCH_SIZE = old
     assert len(batches) == 2
-    obs, frames, chunks, names = batches[0]
     from torbi_tpu.ops.dispatch import bucket_frames
-    assert obs.shape == (3, bucket_frames(12), 7)
-    assert frames.tolist() == [8, 3, 12]
-    np.testing.assert_array_equal(obs[2, :12], arrays[2])
-    assert (obs[2, 12:] == 0).all()
+
+    # Batches are length-sorted so rows pad to similar maxima: the three
+    # short files [3, 5, 8] share one batch (bucket 8, not 16) and the
+    # 12-frame file rides alone
+    obs, frames, chunks, names = batches[0]
+    assert obs.shape == (3, bucket_frames(8), 7)
+    assert frames.tolist() == [3, 5, 8]
+    by_name = {str(f): a for f, a in zip(files, arrays)}
+    for row, name, n in zip(obs, names, frames.tolist()):
+        np.testing.assert_array_equal(row[:n], by_name[str(name)])
+        assert (row[n:] == 0).all()
+    obs1, frames1, _, names1 = batches[1]
+    assert frames1.tolist() == [12]
+    np.testing.assert_array_equal(obs1[0, :12], by_name[str(names1[0])])
 
 
 def test_pt_files_fall_back_to_python(tmp_path):

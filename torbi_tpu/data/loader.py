@@ -66,14 +66,21 @@ class NativeDataLoader:
 
     def __init__(self, input_files, batch_size, num_threads, shapes=None):
         self.dataset = Dataset(input_files)
-        self.input_files = [str(f) for f in input_files]
+        input_files = [str(f) for f in input_files]
         self.batch_size = batch_size
         self.num_threads = max(num_threads, 8)
         # Reuse shapes probed during eligibility checking; each probe is a
         # file open + header parse
-        self.shapes = (
+        shapes = (
             shapes if shapes is not None
-            else [native.probe(f) for f in self.input_files])
+            else [native.probe(f) for f in input_files])
+        # Batch length-sorted: every row in a batch pads to the batch max,
+        # so grouping similar-length files cuts wasted decode frames on
+        # heavy-tailed corpora (outputs are keyed by filename, order-free)
+        order = sorted(
+            range(len(input_files)), key=lambda i: shapes[i][0])
+        self.input_files = [input_files[i] for i in order]
+        self.shapes = [shapes[i] for i in order]
 
     def __len__(self):
         return (len(self.input_files) + self.batch_size - 1) \
