@@ -83,6 +83,23 @@ def test_xla_backend_buckets_compiles_once():
     assert info.misses == 1, info
 
 
+def test_memory_budget_splits_batches(monkeypatch):
+    """Oversized batches split into independent sub-calls, bitwise equal
+    to the unsplit decode (the guard that keeps a 512 x 1024-frame chunk
+    batch under HBM capacity)"""
+    from torbi_tpu.ops import dispatch as dispatch_mod
+
+    rng = np.random.default_rng(63)
+    obs, bf, trans, init = random_case(rng, 12, 10, 9, padded=True)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+
+    monkeypatch.setattr(torbi_tpu, 'DECODE_MEMORY_BUDGET', 1)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='xla'))
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_exact_ties_lowest_index():
     """Exact ties resolve to the lowest source index on every backend"""
     batch, frames, states = 2, 6, 5

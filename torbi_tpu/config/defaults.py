@@ -95,10 +95,20 @@ BACKTRACE_LOOP = True
 
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
-FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 10240, 16384)
+# (640 and 1536 catch sequences just over a power of two -- e.g. entropy
+# chunks of MIN_CHUNK_SIZE + a few frames -- at ~20% padding instead of
+# ~100%; all buckets satisfy the backtrace kernel's frames % 128 tiling)
+FRAME_BUCKETS = (
+    64, 128, 256, 512, 640, 1024, 1536, 2048, 4096, 8192, 10240, 16384)
 
 # Pad the batch dimension up to the next multiple of this inside decode
 BATCH_PAD_MULTIPLE = 8
+
+# Split a decode batch into independent sub-calls when its estimated
+# device footprint -- (states + states_padded) * 4 bytes per (row, frame)
+# cell of the bucketed shape -- exceeds this. Real usage lands ~2-3x the
+# estimate (XLA buffer slack), so 5.5e9 keeps peak under a 16 GB HBM.
+DECODE_MEMORY_BUDGET = 5_500_000_000
 
 # Temperature for the MXU-accelerated approximate decode (backend='lse');
 # higher is closer to exact Viterbi (see ops/lse.py)

@@ -268,6 +268,27 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             if not bool(finite.all()):
                 band = None
 
+    # Memory guard: the pipeline materializes the observation plus the
+    # full posterior stream (~(S + S_padded) * 4 bytes per (row, frame)
+    # cell, with ~2-3x XLA buffer slack on top). A 512-row batch of
+    # 1024-frame chunks at 1440 states wants ~18 GB -- over v5e's 16 GB
+    # HBM -- so oversized batches split into independent halves (batch
+    # rows are independent; bitwise identical results).
+    frames_est = bucket_frames(frames)
+    states_est = _round_up(states, 128)
+    footprint = batch * frames_est * (states + states_est) * 4
+    if footprint > int(torbi_tpu.DECODE_MEMORY_BUDGET) and batch > 8:
+        half = (batch + 1) // 2
+        first = decode(
+            observation[:half], batch_frames[:half], transition, initial,
+            backend=backend, finite_observation=finite_observation,
+            log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
+        second = decode(
+            observation[half:], batch_frames[half:], transition, initial,
+            backend=backend, finite_observation=finite_observation,
+            log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
+        return jnp.concatenate([first, second], axis=0)
+
     mesh_key = resolve_mesh(mesh, batch)
     n_shards = len(mesh_key) if mesh_key is not None else 1
     # Each shard's slice is padded to its own bucket so all shards run the
