@@ -23,7 +23,7 @@ Usage:
       [--batch 64] [--frames 64] [--width 44] [--iters 20]
 """
 import argparse
-import functools
+
 import json
 import os
 import sys

@@ -94,3 +94,66 @@ def test_probe_rejects_batched_npy(tmp_path):
     path1d = tmp_path / 'flat.npy'
     np.save(path1d, np.zeros(16, dtype=np.float32))
     assert native.probe(str(path1d)) is None
+
+
+def test_padded_states_pipeline_end_to_end(tmp_path):
+    """states=112 pads to 128 lanes at load time (tile-aligned transfers);
+    the native batch carries -inf lanes and decodes exactly"""
+    import jax.numpy as jnp
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode, padded_states
+
+    states = 112
+    assert padded_states(states) == 128
+    rng = np.random.default_rng(9)
+    tiny = np.finfo(np.float32).tiny
+    files, arrays = [], []
+    for i, frames in enumerate([9, 14]):
+        obs = np.log(
+            rng.dirichlet(np.ones(states), size=frames).astype(np.float32)
+            + tiny)
+        path = tmp_path / f'p{i}.npy'
+        np.save(path, obs)
+        files.append(path)
+        arrays.append(obs)
+
+    data_loader = loader(files, pad_value=float('-inf'))
+    from torbi_tpu.data.loader import NativeDataLoader
+    assert isinstance(data_loader, NativeDataLoader)
+    (obs_batch, bf, _, names), = list(data_loader)
+    assert obs_batch.shape[-1] == 128
+    assert np.isneginf(obs_batch[0, 0, states:]).all()
+
+    trans = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    by_name = {str(f): a for f, a in zip(files, arrays)}
+    expected_rows = [
+        oracle.viterbi_numpy(
+            by_name[str(name)][None], np.array([n]), trans, init)[0]
+        for name, n in zip(names, bf.tolist())]
+
+    got = np.asarray(decode(
+        jnp.asarray(obs_batch), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    for row, n, expected in zip(got, bf.tolist(), expected_rows):
+        np.testing.assert_array_equal(row[:n], expected)
+
+
+def test_padded_states_collate(tmp_path):
+    """The python collate path pads states the same way"""
+    from torbi_tpu.data.collate import collate
+    from torbi_tpu.ops.dispatch import padded_states
+
+    rng = np.random.default_rng(10)
+    states = 240  # pads to 256 (within the waste threshold)
+    assert padded_states(states) == 256
+    assert padded_states(200) == 200  # >25% waste: skipped
+    rows = [rng.normal(size=(f, states)).astype(np.float32) for f in (5, 9)]
+    obs, bf, chunks, names = collate(
+        [(rows[0], 'a'), (rows[1], 'b')], pad_value=float('-inf'))
+    assert obs.shape[-1] == 256
+    assert np.isneginf(obs[0, 0, states:]).all()
+    np.testing.assert_array_equal(obs[1, :9, :states], rows[1])
+    assert (obs[0, 5:, :states] == 0).all()

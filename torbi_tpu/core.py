@@ -131,7 +131,7 @@ def _dispatch_decode(observation, batch_frames, transition, initial,
     result (JAX dispatch is asynchronous); from_dataloader uses this to
     overlap device compute with host saves."""
     observation = to_jax(observation, jnp.float32)
-    batch, frames, states = observation.shape
+    batch, frames, states_in = observation.shape
     device = _device(gpu)
     if device is not None:
         observation = jax.device_put(observation, device)
@@ -139,6 +139,16 @@ def _dispatch_decode(observation, batch_frames, transition, initial,
     if batch_frames is None:
         batch_frames = jnp.full((batch,), frames, dtype=jnp.int32)
     batch_frames = to_jax(batch_frames, jnp.int32)
+
+    # The true state count comes from the transition/initial when given:
+    # the data pipeline may pre-pad the observation's state dimension to a
+    # lane multiple (tile-aligned transfers, ops.dispatch.padded_states)
+    if transition is not None:
+        states = int(transition.shape[0])
+    elif initial is not None:
+        states = int(initial.shape[-1])
+    else:
+        states = states_in
 
     # Default to uniform initial probabilities (reference core.py:161-166
     # includes tiny inside the log for initial but not transition)
@@ -288,7 +298,9 @@ def from_files_to_files(
         for input_file, output_file in zip(input_files, output_files)}
 
     from_dataloader(
-        dataloader=torbi_tpu.data.loader(input_files),
+        dataloader=torbi_tpu.data.loader(
+            input_files,
+            pad_value=float('-inf') if log_probs else 0.0),
         output_files=mapping,
         transition=transition,
         initial=initial,

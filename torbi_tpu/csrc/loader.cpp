@@ -9,7 +9,14 @@
 //
 // Exposed via ctypes (no pybind11 dependency):
 //   probe_npy(path, &frames, &states)        -> 0 on success
-//   load_batch(paths, n, out, frames, max_frames, states, threads) -> 0
+//   load_batch(paths, n, out, frames, max_frames, states,
+//              padded_states, pad_value, threads) -> 0
+//
+// The output buffer is (n, max_frames, padded_states): each frame's
+// `states` floats land at a `padded_states` stride with the lane tail
+// filled with pad_value (-inf for log-space data), so host-to-device
+// transfers are tile-aligned and skip the device-side relayout an odd
+// minor dimension triggers.
 //
 // Only little-endian float32 C-order .npy (format v1/v2) is supported;
 // anything else returns an error and the Python caller falls back to the
@@ -95,7 +102,8 @@ int parse_npy_header(FILE* file, NpyInfo* info) {
 }
 
 int load_one(const char* path, float* out_row, int32_t* frames_out,
-             int64_t max_frames, int64_t states) {
+             int64_t max_frames, int64_t states, int64_t padded_states,
+             float pad_value) {
   FILE* file = fopen(path, "rb");
   if (!file) return kErrOpen;
   NpyInfo info;
@@ -108,15 +116,31 @@ int load_one(const char* path, float* out_row, int32_t* frames_out,
     fclose(file);
     return kErrStates;
   }
+  // Read the payload contiguously into the front of the row buffer, then
+  // (for padded_states > states) expand frames back-to-front in place and
+  // fill each frame's lane tail with pad_value
   size_t count = static_cast<size_t>(info.frames) * states;
   if (fread(out_row, sizeof(float), count, file) != count) {
     fclose(file);
     return kErrRead;
   }
   fclose(file);
-  // Zero-pad the tail (reference collate zero-pads, collate.py:27-33)
-  size_t total = static_cast<size_t>(max_frames) * states;
-  memset(out_row + count, 0, (total - count) * sizeof(float));
+  if (padded_states != states) {
+    for (int64_t f = info.frames - 1; f >= 0; --f) {
+      float* dst = out_row + f * padded_states;
+      if (f > 0) {
+        memmove(dst, out_row + f * states, states * sizeof(float));
+      }
+      for (int64_t lane = states; lane < padded_states; ++lane) {
+        dst[lane] = pad_value;
+      }
+    }
+  }
+  // Zero-pad the frame tail (reference collate zero-pads,
+  // collate.py:27-33); padded frames are masked by batch_frames
+  size_t filled = static_cast<size_t>(info.frames) * padded_states;
+  size_t total = static_cast<size_t>(max_frames) * padded_states;
+  memset(out_row + filled, 0, (total - filled) * sizeof(float));
   *frames_out = static_cast<int32_t>(info.frames);
   return kOk;
 }
@@ -138,20 +162,23 @@ int probe_npy(const char* path, int64_t* frames, int64_t* states) {
   return kOk;
 }
 
-// Load n files into a zero-padded (n, max_frames, states) float32 buffer
-// with a thread pool. frames[i] receives each file's frame count. Returns 0
-// on success, else the first error code encountered.
+// Load n files into a padded (n, max_frames, padded_states) float32
+// buffer with a thread pool. frames[i] receives each file's frame count.
+// Returns 0 on success, else the first error code encountered.
 int load_batch(const char** paths, int64_t n, float* out, int32_t* frames,
-               int64_t max_frames, int64_t states, int num_threads) {
+               int64_t max_frames, int64_t states, int64_t padded_states,
+               float pad_value, int num_threads) {
   if (num_threads < 1) num_threads = 1;
+  if (padded_states < states) return kErrStates;
   std::atomic<int64_t> next(0);
   std::atomic<int> error(kOk);
   auto worker = [&]() {
     while (true) {
       int64_t i = next.fetch_add(1);
       if (i >= n || error.load() != kOk) return;
-      float* row = out + i * max_frames * states;
-      int status = load_one(paths[i], row, frames + i, max_frames, states);
+      float* row = out + i * max_frames * padded_states;
+      int status = load_one(paths[i], row, frames + i, max_frames, states,
+                            padded_states, pad_value);
       if (status != kOk) {
         int expected = kOk;
         error.compare_exchange_strong(expected, status);

@@ -19,16 +19,18 @@ def _flatten(observations):
     return list(itertools.chain.from_iterable(observations)), counts
 
 
-def collate(batch):
+def collate(batch, pad_value=float('-inf')):
     """Collate (observation, input_file) items into a padded batch.
 
-    Returns (observation (rows, frames, states), batch_frames (rows,)
-    int32, batch_chunks per file, input_files). The frame dimension pads
-    straight to the decode pipeline's bucket boundary: odd frame counts
-    would otherwise force a device-side relayout on every host-to-device
-    transfer and a fresh compile per distinct batch shape.
+    Returns (observation (rows, frames, states_padded), batch_frames
+    (rows,) int32, batch_chunks per file, input_files). BOTH minor
+    dimensions pad to pipeline-friendly sizes: frames to the decode bucket
+    boundary, and states to a lane multiple (ops.dispatch.padded_states)
+    filled with ``pad_value`` (-inf for log-space data, 0.0 for
+    probabilities) -- unaligned minor dimensions force a device-side
+    relayout on every host-to-device transfer.
     """
-    from ..ops.dispatch import bucket_frames
+    from ..ops.dispatch import bucket_frames, padded_states
 
     observations, input_files = zip(*batch)
     rows, batch_chunks = _flatten(observations)
@@ -37,11 +39,14 @@ def collate(batch):
 
     lengths = np.array([row.shape[0] for row in rows], dtype=np.int32)
     states = rows[0].shape[-1]
+    states_p = padded_states(states)
     padded = np.zeros(
-        (len(rows), bucket_frames(int(lengths.max())), states),
+        (len(rows), bucket_frames(int(lengths.max())), states_p),
         dtype=np.asarray(rows[0]).dtype)
+    if states_p != states:
+        padded[:, :, states:] = pad_value
     for row, out, n in zip(rows, padded, lengths):
-        out[:n] = row
+        out[:n, :states] = row
 
     return padded, lengths, batch_chunks, input_files
 

@@ -16,11 +16,15 @@ from .dataset import Dataset
 
 class DataLoader:
 
-    def __init__(self, dataset, batch_size, num_workers=0, collate_fn=None):
+    def __init__(self, dataset, batch_size, num_workers=0, collate_fn=None,
+                 pad_value=float('-inf')):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
-        self.collate_fn = collate_fn or default_collate
+        if collate_fn is None:
+            def collate_fn(batch):
+                return default_collate(batch, pad_value=pad_value)
+        self.collate_fn = collate_fn
 
     def _batches(self):
         indices = range(len(self.dataset))
@@ -64,7 +68,9 @@ class NativeDataLoader:
     outside the GIL. Yields the same tuples as DataLoader.
     """
 
-    def __init__(self, input_files, batch_size, num_threads, shapes=None):
+    def __init__(self, input_files, batch_size, num_threads, shapes=None,
+                 pad_value=float('-inf')):
+        self.pad_value = pad_value
         self.dataset = Dataset(input_files)
         input_files = [str(f) for f in input_files]
         self.batch_size = batch_size
@@ -87,7 +93,7 @@ class NativeDataLoader:
             // self.batch_size
 
     def __iter__(self):
-        from ..ops.dispatch import bucket_frames
+        from ..ops.dispatch import bucket_frames, padded_states
 
         for start in range(0, len(self.input_files), self.batch_size):
             stop = min(start + self.batch_size, len(self.input_files))
@@ -98,11 +104,13 @@ class NativeDataLoader:
             max_frames = bucket_frames(max(shape[0] for shape in shapes))
             states = shapes[0][1]
             result = native.load_batch(
-                files, max_frames, states, self.num_threads)
+                files, max_frames, states, self.num_threads,
+                padded_states=padded_states(states),
+                pad_value=self.pad_value)
             if result is None:
                 # File changed underneath or parse error: python fallback
                 batch = [(Dataset([f])[0][0], f) for f in files]
-                yield default_collate(batch)
+                yield default_collate(batch, pad_value=self.pad_value)
                 continue
             observation, batch_frames = result
             yield observation, batch_frames, [1] * len(files), tuple(files)
@@ -122,8 +130,13 @@ def _native_eligible(input_files):
     return shapes if all(s is not None for s in shapes) else None
 
 
-def loader(input_files, num_workers=None, collate_fn=None):
-    """Retrieve a data loader"""
+def loader(input_files, num_workers=None, collate_fn=None,
+           pad_value=float('-inf')):
+    """Retrieve a data loader.
+
+    pad_value fills the lane-padding of the observation's state dimension:
+    -inf for log-space data (the default), 0.0 for probabilities.
+    """
     if num_workers is None:
         num_workers = torbi_tpu.NUM_WORKERS
     if collate_fn is None:
@@ -131,10 +144,11 @@ def loader(input_files, num_workers=None, collate_fn=None):
         if shapes is not None:
             return NativeDataLoader(
                 input_files, torbi_tpu.BATCH_SIZE, num_workers,
-                shapes=shapes)
+                shapes=shapes, pad_value=pad_value)
     dataset = Dataset(input_files)
     return DataLoader(
         dataset,
         batch_size=torbi_tpu.BATCH_SIZE,
         num_workers=num_workers,
-        collate_fn=collate_fn)
+        collate_fn=collate_fn,
+        pad_value=pad_value)

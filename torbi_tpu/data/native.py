@@ -35,6 +35,8 @@ def _load_library():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_float,
             ctypes.c_int,
         ]
         lib.load_batch.restype = ctypes.c_int
@@ -60,17 +62,24 @@ def probe(path):
     return frames.value, states.value
 
 
-def load_batch(paths, max_frames, states, num_threads=8):
-    """Load .npy files into a zero-padded (n, max_frames, states) batch.
+def load_batch(paths, max_frames, states, num_threads=8,
+               padded_states=None, pad_value=float('-inf')):
+    """Load .npy files into a padded (n, max_frames, padded_states) batch.
 
-    Returns (observation float32 array, batch_frames int32 array), or None
-    when the native path cannot handle the inputs (caller falls back).
+    Each frame's lane tail [states, padded_states) is filled with
+    pad_value (tile-aligned host-to-device transfers); padded frames
+    beyond each file's length are zero. Returns (observation float32
+    array, batch_frames int32 array), or None when the native path cannot
+    handle the inputs (caller falls back).
     """
     lib = _load_library()
     if lib is False:
         return None
+    if padded_states is None:
+        padded_states = states
     n = len(paths)
-    observation = np.empty((n, max_frames, states), dtype=np.float32)
+    observation = np.empty(
+        (n, max_frames, padded_states), dtype=np.float32)
     frames = np.empty((n,), dtype=np.int32)
     encoded = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * n)(*encoded)
@@ -81,6 +90,8 @@ def load_batch(paths, max_frames, states, num_threads=8):
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         max_frames,
         states,
+        padded_states,
+        ctypes.c_float(pad_value),
         num_threads)
     if status != 0:
         return None

@@ -106,6 +106,20 @@ def bucket_batch(batch):
     return bucket
 
 
+def padded_states(states):
+    """Host-side state padding target: the next 128 multiple when the
+    relative waste is small, else the raw count.
+
+    Observations whose minor dimension is not a lane multiple force a
+    device-side relayout on every host-to-device transfer (an order of
+    magnitude slower on some interconnects), so the data pipeline pads
+    states with -inf at load time. Tiny state counts skip it -- padding
+    7 states to 128 would multiply the batch bytes instead.
+    """
+    target = _round_up(states, 128)
+    return target if target * 4 <= states * 5 else states
+
+
 def resolve_backend(backend=None):
     """Resolve 'auto' to a concrete backend for the current platform"""
     backend = backend or torbi_tpu.BACKEND
@@ -125,8 +139,8 @@ def _config_key():
 
 
 @functools.lru_cache(maxsize=128)
-def _build_decode(backend, batch_p, frames_p, states, band, interpret,
-                  log_input, apply_epsilon, mesh_key, config_key):
+def _build_decode(backend, batch_p, frames_p, states, states_in, band,
+                  interpret, log_input, apply_epsilon, mesh_key, config_key):
     """Stage the decode pipeline for one (bucketed batch, bucketed frames)
     shape as a single jitted function.
 
@@ -161,7 +175,11 @@ def _build_decode(backend, batch_p, frames_p, states, band, interpret,
         return obs
 
     def pipeline(observation, batch_frames, transition, initial):
-        obs = observation if fold_obs else convert(observation)
+        obs = observation
+        if backend == 'xla' and states_in != states:
+            obs = obs[..., :states]  # the scan path wants raw states
+        if not fold_obs:
+            obs = convert(obs)
 
         if backend == 'xla':
             # The scan path needs no state padding; it shares the staged
@@ -232,7 +250,17 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     Returns (batch, frames) int32 decoded state indices.
     """
     backend = resolve_backend(backend)
-    batch, frames, states = observation.shape
+    batch, frames, states_in = observation.shape
+    states = int(transition.shape[0])
+    # The data pipeline may pre-pad the observation's state dimension to a
+    # lane multiple with -inf (tile-aligned host-to-device transfers, see
+    # padded_states); the kernels consume the padded lanes directly, other
+    # backends slice them off
+    if states_in not in (states, _round_up(states, 128)):
+        raise ValueError(
+            f'observation has {states_in} states but the transition has '
+            f'{states} (pre-padded observations must pad to the next '
+            f'128 multiple with -inf)')
     if apply_epsilon:
         finite_observation = True
 
@@ -240,6 +268,8 @@ def decode(observation, batch_frames, transition, initial, backend=None,
         # MXU-accelerated approximate mode (see ops/lse.py)
         from .lse import decode_lse
         obs = observation
+        if states_in != states:
+            obs = obs[..., :states]
         if not log_input:
             obs = jnp.log(obs)
         if apply_epsilon:
@@ -262,21 +292,26 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             band_ops.detect_band(transition), initial,
             observation=None, finite_observation=True)
         if band is not None and not finite_observation:
-            finite = jnp.isfinite(observation)
+            finite = jnp.isfinite(observation[..., :states])
             if not log_input:
-                finite = finite & (observation > 0)
+                finite = finite & (observation[..., :states] > 0)
             if not bool(finite.all()):
                 band = None
+
+    mesh_key = resolve_mesh(mesh, batch)
+    n_shards = len(mesh_key) if mesh_key is not None else 1
 
     # Memory guard: the pipeline materializes the observation plus the
     # full posterior stream (~(S + S_padded) * 4 bytes per (row, frame)
     # cell, with ~2-3x XLA buffer slack on top). A 512-row batch of
     # 1024-frame chunks at 1440 states wants ~18 GB -- over v5e's 16 GB
     # HBM -- so oversized batches split into independent halves (batch
-    # rows are independent; bitwise identical results).
+    # rows are independent; bitwise identical results). Sharded calls
+    # spread the stream across chips, so the guard is per shard.
     frames_est = bucket_frames(frames)
     states_est = _round_up(states, 128)
-    footprint = batch * frames_est * (states + states_est) * 4
+    footprint = (
+        batch * frames_est * (states_in + states_est) * 4 // n_shards)
     if footprint > int(torbi_tpu.DECODE_MEMORY_BUDGET) and batch > 8:
         half = (batch + 1) // 2
         first = decode(
@@ -288,9 +323,6 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             backend=backend, finite_observation=finite_observation,
             log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
         return jnp.concatenate([first, second], axis=0)
-
-    mesh_key = resolve_mesh(mesh, batch)
-    n_shards = len(mesh_key) if mesh_key is not None else 1
     # Each shard's slice is padded to its own bucket so all shards run the
     # same kernel shape (per-shard batch is a multiple of the pad multiple)
     batch_p = bucket_batch(-(-batch // n_shards)) * n_shards
@@ -310,8 +342,8 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             constant_values=1)
 
     fn = _build_decode(
-        backend, batch_p, frames_p, states, band, interpret, log_input,
-        apply_epsilon, mesh_key, _config_key())
+        backend, batch_p, frames_p, states, states_in, band, interpret,
+        log_input, apply_epsilon, mesh_key, _config_key())
     indices = fn(obs, bf, transition, initial)
     if batch_p == batch and frames_p == frames:
         return indices

@@ -64,26 +64,31 @@ def _forward_kernel(
 
     def obs_row(b, k):
         # Observations stream in unpadded; lane-pad in-register
-        row = obs_ref[b, k:k + 1, :]
+        row = obs_ref[b, pl.ds(k, 1), :]
         if states_in == states_padded:
             return row
         pad = jnp.full(
             (1, states_padded - states_in), NEG_INF, jnp.float32)
         return jnp.concatenate([row, pad], axis=1)
 
-    for k in range(FRAME_TILE):
+    # The frame axis is a fori_loop (not unrolled): the dense kernel's body
+    # is already num_dest_tiles * num_src_tiles * BATCH_TILE blocks, and an
+    # 8x frame unroll put the 1536-state program in the many-minutes Mosaic
+    # compile class (measured: the loop form costs no runtime,
+    # scripts/kernel_lab.py 'loopk')
+    def frame_body(k, carry):
         t = tb * FRAME_TILE + k
         for b in range(BATCH_TILE):
             frames_b = frames_ref[b, 0]
 
             @pl.when(t == 0)
-            def _init(b=b, k=k):
+            def _init(b=b):
                 post0 = obs_row(b, 0) + init_ref[...]
                 post_ref[b:b + 1, :] = post0
-                postseq_ref[b, k:k + 1, :] = post0
+                postseq_ref[b, pl.ds(k, 1), :] = post0
 
             @pl.when(jnp.logical_and(t > 0, t < frames_b))
-            def _step(b=b, k=k):
+            def _step(b=b):
                 for jt in range(num_dest_tiles):
                     m = jnp.full((dest_tile, 128), NEG_INF, jnp.float32)
                     for it in range(num_src_tiles):
@@ -100,13 +105,16 @@ def _forward_kernel(
                 new_post = (
                     obs_row(b, k) + jnp.transpose(scores_col[...]))
                 post_ref[b:b + 1, :] = new_post
-                postseq_ref[b, k:k + 1, :] = new_post
+                postseq_ref[b, pl.ds(k, 1), :] = new_post
 
             @pl.when(jnp.logical_and(t > 0, t >= frames_b))
-            def _padded(b=b, k=k):
+            def _padded(b=b):
                 # The posterior freezes at the last valid frame
                 # (viterbi.cpp:81 loops t in [1, frames))
-                postseq_ref[b, k:k + 1, :] = post_ref[b:b + 1, :]
+                postseq_ref[b, pl.ds(k, 1), :] = post_ref[b:b + 1, :]
+        return carry
+
+    lax.fori_loop(0, FRAME_TILE, frame_body, 0)
 
 
 @functools.lru_cache(maxsize=64)
