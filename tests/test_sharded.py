@@ -101,6 +101,35 @@ def test_auto_shard_band_kernel():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_auto_shard_with_prepadded_observation():
+    """Pre-padded (lane-aligned) observations flow through the sharded
+    dispatch path exactly"""
+    from torbi_tpu.ops import dispatch
+
+    rng = np.random.default_rng(33)
+    batch, frames, states = 64, 8, 112  # pads to 128 lanes
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    padded = np.full(
+        (batch, frames, dispatch.padded_states(states)), -np.inf,
+        dtype=np.float32)
+    padded[..., :states] = obs
+    trans = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+
+    assert dispatch.resolve_mesh(None, batch) is not None
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch.decode(
+        jnp.asarray(padded), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_auto_shard_declines_small_batches():
     from torbi_tpu.ops import dispatch
 
