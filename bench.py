@@ -186,11 +186,14 @@ def bench_chunked(frames=1 << 20):
         min_chunk, old_chunk = 512, torbi_tpu.MIN_CHUNK_SIZE
         torbi_tpu.MIN_CHUNK_SIZE = min_chunk
         try:
-            timing.reset()
-            torbi_tpu.from_files_to_files(
-                [obs_path], [out_path], transition_file=trans_path,
-                log_probs=True)
-            decode_s = timing.results()['torbi']
+            # Two passes: the first also pays any kernel compiles for the
+            # chunk shape buckets; the second is the steady-state number
+            for _ in range(2):
+                timing.reset()
+                torbi_tpu.from_files_to_files(
+                    [obs_path], [out_path], transition_file=trans_path,
+                    log_probs=True)
+                decode_s = timing.results()['torbi']
         finally:
             torbi_tpu.MIN_CHUNK_SIZE = old_chunk
     value = frames / decode_s
@@ -217,12 +220,15 @@ def bench_files(n_files=256, seed=3):
             inputs.append(path)
             outputs.append(os.path.join(tmp, f'{i:05d}_out.npy'))
 
-        timing.reset()
-        start = time.perf_counter()
-        torbi_tpu.from_files_to_files(
-            inputs, outputs, transition_file=trans_path, log_probs=True)
-        wall_s = time.perf_counter() - start
-        decode_s = timing.results()['torbi']
+        # Two passes: the first also pays any kernel compiles for the
+        # file-length buckets; the second is the steady-state number
+        for _ in range(2):
+            timing.reset()
+            start = time.perf_counter()
+            torbi_tpu.from_files_to_files(
+                inputs, outputs, transition_file=trans_path, log_probs=True)
+            wall_s = time.perf_counter() - start
+            decode_s = timing.results()['torbi']
 
     timesteps = int(lengths.sum())
     emit('timesteps_per_second_files_decode', timesteps / decode_s,
