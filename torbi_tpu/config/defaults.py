@@ -88,6 +88,11 @@ BAND_MAX_FRACTION = 0.5
 # to a single device.
 AUTO_SHARD = True
 
+# Frames per band-kernel grid step (measured on v5e at the headline
+# shape: 8 = 105.3 ms, 16 = 106.1 ms, 32 = 114.4 ms -- larger tiles cost
+# VMEM pipelining granularity more than they save in per-step overhead)
+BAND_FRAME_TILE = 8
+
 # Backtrace kernel flavor: True lowers the frame chase as a fori_loop
 # (Mosaic program ~100x smaller -> compiles in seconds instead of many
 # minutes, identical math); False keeps the fully unrolled variant.

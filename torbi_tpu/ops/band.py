@@ -191,7 +191,8 @@ def _band_kernel(
         width,
         floor,
         log_input=True,
-        apply_epsilon=False):
+        apply_epsilon=False,
+        frame_tile=FRAME_TILE):
     tb = pl.program_id(1)
 
     def obs_col(k):
@@ -222,8 +223,8 @@ def _band_kernel(
     frames_col = frames_ref[...]  # (8, 1)
     shift0 = (-lo) % states_padded
 
-    for k in range(FRAME_TILE):
-        t = tb * FRAME_TILE + k
+    for k in range(frame_tile):
+        t = tb * frame_tile + k
 
         @pl.when(t == 0)
         def _init(k=k):
@@ -289,9 +290,14 @@ def _band_kernel(
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         floor, interpret=False,
-                        log_input=True, apply_epsilon=False):
+                        log_input=True, apply_epsilon=False,
+                        frame_tile=FRAME_TILE):
     width_padded = max(_round_up(width, 8), 8)
-    frame_tile = FRAME_TILE
+    # Frames per grid step: more frames per tile amortize per-step costs
+    # (block_max, grid iteration, DMA setup) against VMEM block size
+    while frames % frame_tile:
+        frame_tile //= 2
+    frame_tile = max(frame_tile, 8)
     assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
     kernel = functools.partial(
         _band_kernel,
@@ -301,7 +307,8 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         width=width,
         floor=floor,
         log_input=log_input,
-        apply_epsilon=apply_epsilon)
+        apply_epsilon=apply_epsilon,
+        frame_tile=frame_tile)
     grid = (batch // BATCH_TILE, frames // frame_tile)
     in_specs = [
         pl.BlockSpec(
@@ -393,5 +400,6 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
     states_padded = transition_padded.shape[0]
     fwd = _build_band_forward(
         batch, frames, states_in, states_padded, lo, width, floor,
-        interpret, log_input, apply_epsilon)
+        interpret, log_input, apply_epsilon,
+        int(getattr(torbi_tpu, 'BAND_FRAME_TILE', FRAME_TILE)))
     return fwd(observation, batch_frames, transition_padded, initial)
