@@ -91,3 +91,90 @@ def test_two_process_file_sharding(tmp_path):
     for out in outputs:
         got = torch.load(out).numpy().ravel()
         np.testing.assert_array_equal(got, expected[out])
+
+
+EVAL_WORKER = r'''
+import os, sys, json
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]))
+from pathlib import Path
+import torbi_tpu
+
+spec = json.load(open(sys.argv[3]))
+torbi_tpu.CACHE_DIR = Path(spec['cache'])
+torbi_tpu.EVAL_DIR = Path(spec['eval'])
+torbi_tpu.PARTITION_DIR = Path(spec['partitions'])
+torbi_tpu.PITCH_TRANSITION_MATRIX = Path(spec['transition'])
+results = torbi_tpu.evaluate.datasets(['synth'], num_threads=1)
+print('EVAL_RESULT', jax.process_index(),
+      json.dumps(results['synth']), flush=True)
+'''
+
+
+def test_two_process_evaluate_aggregates_metrics(tmp_path):
+    """The evaluation harness on a two-process 'pod': each process decodes
+    a disjoint stem shard, RPA counts aggregate over the distributed
+    backend, and both processes report the pod-wide result"""
+    rng = np.random.default_rng(31)
+    tiny = np.finfo(np.float32).tiny
+    states, dataset = 1440, 'synth'
+
+    cache = tmp_path / 'cache' / dataset
+    cache.mkdir(parents=True)
+    stems, total_frames = [], 0
+    for i, frames in enumerate((8, 11, 9, 12)):
+        stem = f'{i:06d}'
+        stems.append(stem)
+        total_frames += frames
+        centers = np.clip(
+            np.cumsum(rng.integers(-3, 4, size=frames)) + states // 2,
+            0, states - 1)
+        bins = np.arange(states, dtype=np.float32)[None, :]
+        logits = -0.5 * (
+            (bins - centers[:, None].astype(np.float32)) / 2.0) ** 2
+        obs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+        torch.save(
+            torch.from_numpy(np.log(np.exp(obs.astype(np.float32)) + tiny)),
+            cache / f'{stem}.pt')
+    partitions = tmp_path / 'partitions'
+    partitions.mkdir()
+    with open(partitions / f'{dataset}.json', 'w') as file:
+        json.dump(stems, file)
+
+    spec = {
+        'cache': str(tmp_path / 'cache'),
+        'eval': str(tmp_path / 'eval'),
+        'partitions': str(partitions),
+        'transition': str(tmp_path / 'stats' / 'transition.pt'),
+    }
+    spec_file = tmp_path / 'spec.json'
+    spec_file.write_text(json.dumps(spec))
+
+    address = f'127.0.0.1:{_free_port()}'
+    workers = [
+        subprocess.Popen(
+            [sys.executable, '-c', EVAL_WORKER, address, str(rank),
+             str(spec_file)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for rank in range(2)]
+    outputs = [worker.communicate(timeout=600)[0] for worker in workers]
+    for worker, output in zip(workers, outputs):
+        assert worker.returncode == 0, output[-3000:]
+
+    parsed = []
+    for output in outputs:
+        line = [l for l in output.splitlines()
+                if l.startswith('EVAL_RESULT')][0]
+        parsed.append(json.loads(line.split(' ', 2)[2]))
+
+    for entry in parsed:
+        # Pod-wide aggregation: every process reports ALL frames
+        assert entry['frames'] == total_frames, entry
+        assert entry['rpa']['0'] == 1.0
+    assert parsed[0]['rpa'] == parsed[1]['rpa']

@@ -12,6 +12,8 @@ modes like 'lse' can be scored on real corpora with the same machinery.
 """
 import json
 
+import numpy as np
+
 import torbi_tpu
 from ..models import pitch
 from ..utils import io, time
@@ -32,6 +34,53 @@ def _transition_file():
 def _stems(dataset):
     with open(torbi_tpu.PARTITION_DIR / f'{dataset}.json') as file:
         return json.load(file)
+
+
+def _process_shard(stems):
+    """This host process's share of the stems (multi-host pods decode
+    disjoint shards; single-process runs keep everything)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return stems
+    from ..parallel.files import shard_files
+
+    mine, _ = shard_files(stems, stems)
+    return mine
+
+
+def _aggregate_metrics(metrics):
+    """Sum each RPA's (total, count) across host processes over DCN;
+    no-op in single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    local = np.array(
+        [[rpa.total, rpa.count] for rpa in metrics.rpas], np.float64)
+    summed = np.asarray(
+        multihost_utils.process_allgather(local)).sum(axis=0)
+    for rpa, (total, count) in zip(metrics.rpas, summed):
+        rpa.total = float(total)
+        rpa.count = int(count)
+
+
+def _aggregate_seconds(timings):
+    """Pod wall time per context: the slowest host bounds the pod, so
+    aggregate with max; contexts missing on a host contribute nothing."""
+    import jax
+
+    if jax.process_count() == 1:
+        return timings
+    from jax.experimental import multihost_utils
+
+    keys = sorted(timings)
+    local = np.array(
+        [timings.get(key, 0.0) for key in keys], np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    return dict(zip(keys, gathered.max(axis=0)))
 
 
 def _paths(dataset, subdir, stems):
@@ -75,17 +124,21 @@ def _score(output_files, target_files):
 
 
 def _speed(frames):
-    """Real-time factor and timesteps/second per timing context"""
+    """Real-time factor and timesteps/second per timing context.
+
+    ``frames`` is the pod-wide frame count; per-context wall time is the
+    max across host processes (the slowest host bounds the pod).
+    """
     seconds = pitch.frames_to_seconds(frames)
-    timings = time.results()
+    timings = _aggregate_seconds(time.results())
     return (
-        {key: seconds / value for key, value in timings.items()},
-        {key: frames / value for key, value in timings.items()})
+        {key: float(seconds / value) for key, value in timings.items()},
+        {key: float(frames / value) for key, value in timings.items()})
 
 
 def _evaluate_dataset(dataset, gpu, num_threads):
     time.reset()
-    stems = _stems(dataset)
+    stems = _process_shard(_stems(dataset))
     input_files = [
         torbi_tpu.CACHE_DIR / dataset / f'{stem}.pt' for stem in stems]
 
@@ -102,8 +155,10 @@ def _evaluate_dataset(dataset, gpu, num_threads):
         backend=getattr(torbi_tpu, 'EVAL_BACKEND', None))
 
     metrics = _score(output_files, target_files)
+    _aggregate_metrics(metrics)
     rtf, timesteps_per_second = _speed(metrics.rpas[0].count)
     return metrics() | {
+        'frames': metrics.rpas[0].count,
         'rtf': rtf,
         'timesteps_per_second': timesteps_per_second,
     }
@@ -120,7 +175,13 @@ def datasets(datasets=None, gpu=None, num_threads=1):
         dataset: _evaluate_dataset(dataset, gpu, num_threads)
         for dataset in datasets}
 
-    torbi_tpu.EVAL_DIR.mkdir(parents=True, exist_ok=True)
-    with open(torbi_tpu.EVAL_DIR / f'{torbi_tpu.CONFIG}.json', 'w') as file:
-        json.dump(results, file)
+    # One writer on multi-host pods; every process returns the aggregated
+    # results
+    import jax
+    if jax.process_index() == 0:
+        torbi_tpu.EVAL_DIR.mkdir(parents=True, exist_ok=True)
+        with open(
+                torbi_tpu.EVAL_DIR / f'{torbi_tpu.CONFIG}.json',
+                'w') as file:
+            json.dump(results, file)
     return results
