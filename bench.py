@@ -121,8 +121,21 @@ def bench_batch1(frames=10240):
 def _headline_inputs():
     import jax.numpy as jnp
 
+    from torbi_tpu.ops.dispatch import padded_states
+
     tiny = np.finfo(np.float32).tiny
-    obs = jnp.asarray(synthetic_posteriorgrams(BATCH, FRAMES, STATES))
+    # States pre-padded to a lane multiple with -inf, exactly as the data
+    # pipeline loads observations: an unaligned minor dimension makes XLA
+    # relayout the full observation on every call (measured 4.8 ms at this
+    # shape -- the trace's 'copy.5')
+    host = synthetic_posteriorgrams(BATCH, FRAMES, STATES)
+    states_p = padded_states(STATES)
+    if states_p != STATES:
+        padded = np.full(
+            (BATCH, FRAMES, states_p), -np.inf, dtype=np.float32)
+        padded[..., :STATES] = host
+        host = padded
+    obs = jnp.asarray(host)
     transition = jnp.asarray(np.log(transition_probabilities() + tiny))
     initial = jnp.asarray(
         np.log(np.full(STATES, 1.0 / STATES, dtype=np.float32) + tiny))
