@@ -99,6 +99,26 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4,
                 accs = [
                     jnp.full((batch_tile, states), NEG_INF, jnp.float32)
                     for _ in range(n_acc)]
+                if variant.startswith('pipe'):
+                    # Software-pipelined emission: issue G rolls, then
+                    # their G adds+maxes -- gives Mosaic's scheduler an
+                    # explicit window to overlap permute-port rolls with
+                    # ALU work from the previous group
+                    group = int(variant[4:] or 8)
+                    for d0 in range(0, width, group):
+                        ds = range(d0, min(d0 + group, width))
+                        rolled = [
+                            pltpu.roll(post, (shift0 - d) % states, 1)
+                            for d in ds]
+                        for j, d in enumerate(ds):
+                            accs[d % n_acc] = jnp.maximum(
+                                accs[d % n_acc],
+                                rolled[j] + band_ref[d:d + 1, :])
+                    m = accs[0]
+                    for acc in accs[1:]:
+                        m = jnp.maximum(m, acc)
+                    post_ref[...] = obs_ref[:, k, :] + m
+                    return
                 if variant == 'ushare2':
                     # ushare with the vreg rotation expressed as aligned
                     # slices + concat (no roll-of-roll chains; plain
