@@ -82,3 +82,27 @@ def test_lse_decode_padded_batch():
                                      trans, init)[0]
     agreement = float(np.mean(got[0] == expected0))
     assert agreement >= 0.9, agreement
+
+
+def test_lse_backend_staged_pipeline_matches_direct():
+    """backend='lse' through dispatch (bucketing + auto-sharding + memory
+    guard) returns exactly what a direct decode_lse call returns"""
+    import torbi_tpu
+    from torbi_tpu.ops.dispatch import decode as dispatch_decode
+
+    rng = np.random.default_rng(6)
+    batch, frames, states = 64, 21, 16  # auto-shards over the CPU mesh
+    obs = np.stack([
+        _case(rng, frames, states, concentration=0.05)[0]
+        for _ in range(batch)])
+    _, trans, init = _case(rng, frames, states, concentration=0.05)
+    bf = np.full(batch, frames, dtype=np.int32)
+    bf[5] = 9
+
+    direct = np.asarray(decode_lse(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), beta=torbi_tpu.LSE_BETA))
+    staged = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='lse'))
+    np.testing.assert_array_equal(staged, direct)

@@ -135,6 +135,8 @@ def _config_key():
         tuple(torbi_tpu.FRAME_BUCKETS),
         torbi_tpu.BATCH_PAD_MULTIPLE,
         torbi_tpu.BACKTRACE_LOOP,
+        float(torbi_tpu.LSE_BETA),
+        int(getattr(torbi_tpu, 'BAND_FRAME_TILE', 8)),
     )
 
 
@@ -186,6 +188,15 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
             # pad/bucket pipeline so CPU/GPU file workloads compile once
             # per shape bucket instead of once per raw shape
             return decode_xla(obs, batch_frames, transition, initial)
+
+        if backend == 'lse':
+            # The MXU smoothed-max mode shares the staging too: bucketed
+            # compiles, automatic multi-chip sharding, the memory guard
+            from .lse import decode_lse
+            lse_obs = obs if states_in == states else obs[..., :states]
+            return decode_lse(
+                lse_obs, batch_frames, transition, initial,
+                beta=torbi_tpu.LSE_BETA)
 
         # The observation state dimension stays unpadded: the forward
         # kernels lane-pad its columns in-register, saving a full-size XLA
@@ -263,21 +274,6 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             f'128 multiple with -inf)')
     if apply_epsilon:
         finite_observation = True
-
-    if backend == 'lse':
-        # MXU-accelerated approximate mode (see ops/lse.py)
-        from .lse import decode_lse
-        obs = observation
-        if states_in != states:
-            obs = obs[..., :states]
-        if not log_input:
-            obs = jnp.log(obs)
-        if apply_epsilon:
-            obs = jnp.log(
-                jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
-        return decode_lse(
-            obs, batch_frames, transition, initial,
-            beta=torbi_tpu.LSE_BETA)
 
     interpret = jax.default_backend() != 'tpu'
 
