@@ -59,7 +59,10 @@ def _pick_tiles(batch, frames, states_padded):
             f'or at most 128 and a multiple of 8 (the TPU output-block lane '
             f'tiling); got frames={frames}. The dispatch pipeline '
             f'guarantees this via FRAME_BUCKETS.')
-    budget = 72 * 1024 * 1024  # leave room for the resident transition
+    # Leave room for the resident transition + row/column scratches under
+    # the 112 MB VMEM limit; wider tiles halve the number of serial chase
+    # chains (measured: batch tile 64 fits at the headline shape)
+    budget = 100 * 1024 * 1024
     for batch_tile in (64, 32, 16, 8):
         if batch % batch_tile:
             continue
@@ -262,7 +265,8 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            # v5e has 128 MB of VMEM; batch tile 64 needs ~112.2 MB
+            vmem_limit_bytes=120 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((batch_tile, 1), jnp.int32),
             pltpu.VMEM((batch_tile, states_padded), jnp.float32),
