@@ -291,7 +291,8 @@ def _band_kernel(
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         floor, interpret=False,
                         log_input=True, apply_epsilon=False,
-                        frame_tile=FRAME_TILE):
+                        frame_tile=FRAME_TILE,
+                        external_band_matrix=False):
     width_padded = max(_round_up(width, 8), 8)
     # Frames per grid step: more frames per tile amortize per-step costs
     # (block_max, grid iteration, DMA setup) against VMEM block size
@@ -359,21 +360,33 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret)
 
-    def forward(observation, batch_frames, transition_padded, initial):
-        band_matrix = build_band_matrix(transition_padded, lo, width)
-        bf = batch_frames.astype(jnp.int32)
-        return call(
-            observation,
-            band_matrix,
-            initial.reshape(1, states_padded),
-            bf.reshape(batch, 1))
+    if external_band_matrix:
+        # The compressed band matrix is prepared once per transition by the
+        # dispatcher (deriving it in-graph cost a 2.75 ms gather per call)
+        def forward(observation, batch_frames, band_matrix, initial):
+            bf = batch_frames.astype(jnp.int32)
+            return call(
+                observation,
+                band_matrix,
+                initial.reshape(1, states_padded),
+                bf.reshape(batch, 1))
+    else:
+        def forward(observation, batch_frames, transition_padded, initial):
+            band_matrix = build_band_matrix(transition_padded, lo, width)
+            bf = batch_frames.astype(jnp.int32)
+            return call(
+                observation,
+                band_matrix,
+                initial.reshape(1, states_padded),
+                bf.reshape(batch, 1))
 
     return jax.jit(forward)
 
 
 def viterbi_forward_band(observation, batch_frames, transition_padded,
                          initial, band, interpret=False,
-                         log_input=True, apply_epsilon=False):
+                         log_input=True, apply_epsilon=False,
+                         band_matrix=None):
     """Banded Pallas forward pass.
 
     observation may carry an UNPADDED state dimension (the kernel lane-pads
@@ -401,5 +414,8 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
     fwd = _build_band_forward(
         batch, frames, states_in, states_padded, lo, width, floor,
         interpret, log_input, apply_epsilon,
-        int(getattr(torbi_tpu, 'BAND_FRAME_TILE', FRAME_TILE)))
+        int(getattr(torbi_tpu, 'BAND_FRAME_TILE', FRAME_TILE)),
+        external_band_matrix=band_matrix is not None)
+    if band_matrix is not None:
+        return fwd(observation, batch_frames, band_matrix, initial)
     return fwd(observation, batch_frames, transition_padded, initial)

@@ -39,6 +39,41 @@ from .scan import decode_xla
 
 NEG_INF = float('-inf')
 
+# Padded transition/initial and the compressed band matrix depend only on
+# the (immutable) transition/initial arrays, so they are prepared ONCE per
+# array identity and passed into the staged program as plain arguments --
+# re-deriving the band matrix in-graph cost 2.75 ms of gather per
+# batch-512 call
+from ..utils.cache import identity_cached as _identity_cached  # noqa: E402
+
+_trans_prep_cache = {}
+_init_prep_cache = {}
+
+
+def _prepare_padded(transition, initial, states, states_p, band):
+    def trans_compute():
+        trans_p = jnp.pad(
+            transition,
+            ((0, states_p - states), (0, states_p - states)),
+            constant_values=NEG_INF)
+        band_matrix = (
+            band_ops.build_band_matrix(trans_p, band[0], band[1])
+            if band is not None else None)
+        return trans_p, band_matrix
+
+    trans_p, band_matrix = _identity_cached(
+        _trans_prep_cache, transition, trans_compute,
+        extra_key=(states_p, band))
+
+    def init_compute():
+        return jnp.pad(
+            initial, (0, states_p - states), constant_values=NEG_INF)
+
+    init_p = _identity_cached(
+        _init_prep_cache, initial, init_compute, extra_key=states_p)
+    return trans_p, init_p, band_matrix
+
+
 # Meshes interned by device-id key so the lru-cached builder can key on a
 # hashable value while the builder body recovers the Mesh object
 _mesh_registry = {}
@@ -176,48 +211,49 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                 jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
         return obs
 
-    def pipeline(observation, batch_frames, transition, initial):
-        obs = observation
-        if backend == 'xla' and states_in != states:
-            obs = obs[..., :states]  # the scan path wants raw states
-        if not fold_obs:
+    if backend in ('xla', 'lse'):
+        def pipeline(observation, batch_frames, transition, initial):
+            obs = observation
+            if states_in != states:
+                obs = obs[..., :states]  # these paths want raw states
             obs = convert(obs)
 
-        if backend == 'xla':
-            # The scan path needs no state padding; it shares the staged
-            # pad/bucket pipeline so CPU/GPU file workloads compile once
-            # per shape bucket instead of once per raw shape
-            return decode_xla(obs, batch_frames, transition, initial)
+            if backend == 'xla':
+                # The scan path needs no state padding; it shares the
+                # staged pad/bucket pipeline so CPU/GPU file workloads
+                # compile once per shape bucket, not per raw shape
+                return decode_xla(obs, batch_frames, transition, initial)
 
-        if backend == 'lse':
-            # The MXU smoothed-max mode shares the staging too: bucketed
-            # compiles, automatic multi-chip sharding, the memory guard
+            # MXU smoothed-max mode: same staging (bucketed compiles,
+            # multi-chip sharding, the memory guard)
             from .lse import decode_lse
-            lse_obs = obs if states_in == states else obs[..., :states]
             return decode_lse(
-                lse_obs, batch_frames, transition, initial,
+                obs, batch_frames, transition, initial,
                 beta=torbi_tpu.LSE_BETA)
-
-        # The observation state dimension stays unpadded: the forward
-        # kernels lane-pad its columns in-register, saving a full-size XLA
-        # pad copy of the largest input
-        trans = jnp.pad(
-            transition,
-            ((0, states_p - states), (0, states_p - states)),
-            constant_values=NEG_INF)
-        init = jnp.pad(
-            initial, (0, states_p - states), constant_values=NEG_INF)
-
-        if band is not None:
+        n_args = 4
+    elif band is not None:
+        def pipeline(observation, batch_frames, trans_p, init_p,
+                     band_matrix):
+            obs = observation if fold_obs else convert(observation)
             post_seq, posterior = band_ops.viterbi_forward_band(
-                obs, batch_frames, trans, init, band, interpret=interpret,
+                obs, batch_frames, trans_p, init_p, band,
+                interpret=interpret,
                 log_input=(log_input or not fold_obs),
-                apply_epsilon=(apply_epsilon and fold_obs))
-        else:
+                apply_epsilon=(apply_epsilon and fold_obs),
+                band_matrix=band_matrix)
+            return backtrace_posteriors(
+                post_seq, trans_p, posterior, batch_frames,
+                interpret=interpret)
+        n_args = 5
+    else:
+        def pipeline(observation, batch_frames, trans_p, init_p):
+            obs = convert(observation)
             post_seq, posterior = viterbi_forward_pallas(
-                obs, batch_frames, trans, init, interpret=interpret)
-        return backtrace_posteriors(
-            post_seq, trans, posterior, batch_frames, interpret=interpret)
+                obs, batch_frames, trans_p, init_p, interpret=interpret)
+            return backtrace_posteriors(
+                post_seq, trans_p, posterior, batch_frames,
+                interpret=interpret)
+        n_args = 4
 
     if mesh_key is None:
         return jax.jit(pipeline)
@@ -226,19 +262,17 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = _mesh_registry[mesh_key]
+    specs = (P('batch'), P('batch')) + (P(),) * (n_args - 2)
     sharded = shard_map(
         pipeline,
         mesh=mesh,
-        in_specs=(P('batch'), P('batch'), P(), P()),
+        in_specs=specs,
         out_specs=P('batch'),
         check_vma=False)
     return jax.jit(
         sharded,
-        in_shardings=(
-            NamedSharding(mesh, P('batch')),
-            NamedSharding(mesh, P('batch')),
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P())))
+        in_shardings=tuple(
+            NamedSharding(mesh, spec) for spec in specs))
 
 
 def decode(observation, batch_frames, transition, initial, backend=None,
@@ -340,7 +374,16 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     fn = _build_decode(
         backend, batch_p, frames_p, states, states_in, band, interpret,
         log_input, apply_epsilon, mesh_key, _config_key())
-    indices = fn(obs, bf, transition, initial)
+    if backend in ('xla', 'lse'):
+        indices = fn(obs, bf, transition, initial)
+    else:
+        states_p = _round_up(states, 128)
+        trans_p, init_p, band_matrix = _prepare_padded(
+            transition, initial, states, states_p, band)
+        if band is not None:
+            indices = fn(obs, bf, trans_p, init_p, band_matrix)
+        else:
+            indices = fn(obs, bf, trans_p, init_p)
     if batch_p == batch and frames_p == frames:
         return indices
     return indices[:batch, :frames]
