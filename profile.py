@@ -33,9 +33,19 @@ def main():
     from torbi_tpu.models import pitch
     from torbi_tpu.utils import profile as prof
 
+    from torbi_tpu.ops.dispatch import padded_states
+
     tiny = np.finfo(np.float32).tiny
-    obs = jnp.asarray(synthetic_posteriorgrams(
-        args.batch, args.frames, args.states))
+    # Lane-padded like the data pipeline loads observations (unaligned
+    # minor dims cost a full relayout copy per call)
+    host = synthetic_posteriorgrams(args.batch, args.frames, args.states)
+    states_p = padded_states(args.states)
+    if states_p != args.states:
+        padded = np.full(
+            host.shape[:2] + (states_p,), -np.inf, dtype=np.float32)
+        padded[..., :args.states] = host
+        host = padded
+    obs = jnp.asarray(host)
     if args.states == 1440:
         transition = jnp.asarray(np.log(pitch.transition_matrix() + tiny))
     else:

@@ -186,7 +186,10 @@ def time_stages(observation, batch_frames, transition, initial, iters=8):
     from ..ops.backtrace import backtrace_posteriors
     from ..ops.pallas import viterbi_forward_pallas
 
-    batch, frames, states = observation.shape
+    batch, frames, _ = observation.shape
+    # The observation may be lane-padded; the transition holds the true
+    # state count
+    states = int(transition.shape[0])
     states_p = ((states + 127) // 128) * 128
     interpret = jax.default_backend() != 'tpu'
 
