@@ -123,3 +123,47 @@ def test_constant_transition_fast_path_tpu():
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got, expected)
+
+
+@requires_tpu
+def test_file_workload_end_to_end_tpu(tmp_path):
+    """from_files_to_files on the real chip: native loader (lane-padded
+    batch), band kernel, saves -- decoded files match the oracle"""
+    import torbi_tpu
+    from torbi_tpu.models import pitch
+    from torbi_tpu.ops import oracle
+
+    rng = np.random.default_rng(17)
+    tiny = np.finfo(np.float32).tiny
+    states = 1440
+    trans_path = tmp_path / 'transition.npy'
+    np.save(trans_path, pitch.transition_matrix())
+
+    inputs, outputs, obs_by_file = [], [], {}
+    for i, frames in enumerate((40, 57, 33)):
+        centers = np.clip(
+            np.cumsum(rng.integers(-3, 4, size=frames)) + 720,
+            0, states - 1)
+        bins = np.arange(states, dtype=np.float32)[None, :]
+        logits = -0.5 * (
+            (bins - centers[:, None].astype(np.float32)) / 2.5) ** 2
+        row = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+        obs = np.log(np.exp(row.astype(np.float32)) + tiny)
+        path = tmp_path / f'{i}.npy'
+        np.save(path, obs)
+        inputs.append(path)
+        outputs.append(tmp_path / f'{i}_out.npy')
+        obs_by_file[str(path)] = obs
+
+    torbi_tpu.from_files_to_files(
+        inputs, outputs, transition_file=trans_path, log_probs=True)
+
+    log_trans = np.log(pitch.transition_matrix() + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    for infile, outfile in zip(inputs, outputs):
+        obs = obs_by_file[str(infile)]
+        eps_obs = np.log(np.exp(obs) + tiny)
+        expected = oracle.viterbi_numpy(
+            eps_obs[None], np.array([obs.shape[0]]), log_trans, init)[0]
+        got = np.load(outfile)
+        np.testing.assert_array_equal(got, expected, err_msg=str(infile))
