@@ -280,8 +280,12 @@ def speed_of_light(batch, frames, states_padded, band, measured_forward_ms,
     width = band[1] if band else states_padded
     vregs = states_padded // 128
     candidate_lanes = batch * frames * width * states_padded
-    # Permute port: one roll per offset, `vregs` cycles each, 1/cycle
-    permute_cycles = batch / 8 * frames * width * vregs
+    # Permute port: one roll per offset, `vregs` cycles each, 1/cycle.
+    # The DENSE kernel shifts nothing (ref-sliced source tiles), so its
+    # permute term is zero and the ALUs bind (measured: 88% of the
+    # 4-issue ALU ideal at 512x512x1280).
+    permute_cycles = (
+        batch / 8 * frames * width * vregs if band else 0.0)
     permute_ms = permute_cycles / V5E_CLOCK_HZ * 1e3
     # ALUs: add + max per candidate at 4 vreg-ops/cycle
     alu_cycles = batch / 8 * frames * width * 2 * vregs / V5E_VPU_ISSUE
