@@ -1,0 +1,127 @@
+"""End-to-end evaluation artifact over a synthetic 1440-state corpus.
+
+The reference's credibility artifact is ``eval/{CONFIG}.json`` produced by
+its full harness over 8,192-stem speech corpora
+(/root/reference/torbi/evaluate/core.py:121-123). The daps/vctk downloads
+and penn preprocessing need network access, so this script builds the same
+kind of artifact from what IS available: a synthetic corpus of peaked
+1440-state pitch posteriorgrams (the same generator as bench.py) pushed
+through the UNMODIFIED evaluation harness -- librosa-style reference decode
+(cached on disk, resumable per file), framework decode via
+``from_files_to_files`` on the real TPU, RPA metrics, and RTF/timesteps-per
+-second speed accounting.
+
+Phases (the corpus and reference outputs persist under ``--workdir``):
+
+  python scripts/eval_synth.py --reference-only   # CPU, slow, resumable
+  python scripts/eval_synth.py                    # TPU decode + metrics
+
+The final results JSON is copied to ``eval/{CONFIG}.json`` at the repo
+root (the committed artifact).
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATASET = 'synth'
+
+
+def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
+    """Synthetic log-space posteriorgram corpus + partition file.
+
+    Files are written once (content-stable across runs via the seed) in
+    the cache layout the harness expects: CACHE_DIR/synth/{stem}.pt.
+    """
+    from bench import synthetic_posteriorgrams
+
+    cache = workdir / 'cache' / DATASET
+    cache.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(min_frames, max_frames, size=n_files)
+    stems = [f'{i:06d}' for i in range(n_files)]
+
+    import torch
+    for i, (stem, frames) in enumerate(zip(stems, lengths)):
+        path = cache / f'{stem}.pt'
+        if path.exists():
+            continue
+        obs = synthetic_posteriorgrams(1, int(frames), 1440, seed=seed + i)[0]
+        torch.save(torch.from_numpy(obs), path)
+
+    partitions = workdir / 'partitions'
+    partitions.mkdir(exist_ok=True)
+    with open(partitions / f'{DATASET}.json', 'w') as file:
+        json.dump(stems, file)
+    return stems, [int(n) for n in lengths]
+
+
+def configure(workdir, config_name):
+    import torbi_tpu
+
+    torbi_tpu.CONFIG = config_name
+    torbi_tpu.CACHE_DIR = workdir / 'cache'
+    torbi_tpu.EVAL_DIR = workdir / 'eval'
+    torbi_tpu.PARTITION_DIR = workdir / 'partitions'
+    torbi_tpu.PITCH_TRANSITION_MATRIX = (
+        workdir / 'stats' / 'transition.pt')
+    torbi_tpu.DATASETS = [DATASET]
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--files', type=int, default=256)
+    parser.add_argument('--min-frames', type=int, default=128)
+    parser.add_argument('--max-frames', type=int, default=512)
+    parser.add_argument(
+        '--workdir',
+        default=os.path.expanduser('~/.cache/torbi_tpu/synth_eval'))
+    parser.add_argument('--config', default='synth-tpu-v5e')
+    parser.add_argument('--num-threads', type=int, default=1)
+    parser.add_argument(
+        '--reference-only', action='store_true',
+        help='only run the (slow, CPU) reference decode pass and exit; '
+             'outputs are cached so the main run skips it')
+    args = parser.parse_args()
+
+    workdir = Path(args.workdir)
+    stems, lengths = build_corpus(
+        workdir, args.files, args.min_frames, args.max_frames)
+    print(f'corpus: {len(stems)} files, {sum(lengths)} frames', flush=True)
+
+    import torbi_tpu
+    configure(workdir, args.config)
+
+    if args.reference_only:
+        from torbi_tpu.evaluate.core import (
+            _ensure_targets, _stems, _transition_file)
+
+        input_files = [
+            torbi_tpu.CACHE_DIR / DATASET / f'{stem}.pt'
+            for stem in _stems(DATASET)]
+        _ensure_targets(
+            DATASET, _stems(DATASET), input_files, args.num_threads)
+        print('reference outputs ready', flush=True)
+        return
+
+    results = torbi_tpu.evaluate.datasets(
+        [DATASET], num_threads=args.num_threads)
+    print(json.dumps(results[DATASET], indent=1), flush=True)
+
+    # Commit location: eval/{CONFIG}.json at the repo root
+    repo_eval = Path(__file__).resolve().parent.parent / 'eval'
+    repo_eval.mkdir(exist_ok=True)
+    shutil.copyfile(
+        torbi_tpu.EVAL_DIR / f'{args.config}.json',
+        repo_eval / f'{args.config}.json')
+    print(f'artifact: eval/{args.config}.json', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -23,6 +23,8 @@ Usage:
       [--batch 64] [--frames 64] [--width 44] [--iters 20]
 """
 import argparse
+import os as _os
+INTERPRET = _os.environ.get('KERNEL_LAB_INTERPRET') == '1'
 
 import json
 import os
@@ -220,6 +222,7 @@ def build_kernel(variant, batch, frames, states, width, n_acc=4,
         out_shape=jax.ShapeDtypeStruct((batch, states), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=INTERPRET,
     )
     return jax.jit(lambda obs, band: call(obs, band))
 
@@ -338,6 +341,7 @@ def build_kernel_mxushift(batch, frames, states, width, n_acc=4,
         out_shape=jax.ShapeDtypeStruct((batch, states), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=INTERPRET,
     )
 
     mats = np.zeros((128, 2, 128, 128), np.float32)
@@ -353,6 +357,178 @@ def build_kernel_mxushift(batch, frames, states, width, n_acc=4,
     return jax.jit(lambda obs, band: call(obs, band, mats_dev))
 
 
+def build_kernel_tilted(variant, batch, frames, states, width, n_acc=4):
+    """Tilted-layout variants: posterior stored (n_vregs*8, 128) per batch
+    tile -- state s = 128*a + l lives at (sublane a*8 + b, lane l) for
+    batch row b.
+
+    An arbitrary state shift s = 128*q + r then decomposes into one
+    intra-vreg lane rotate by r (SHARED by every offset with residue r),
+    two sublane rolls by multiples of 8 (pure vreg renaming, free), and a
+    lane-mask select (ALU). The full-width roll the production kernel pays
+    per offset bundles the rotate with cross-vreg merge work that cannot
+    be shared; this layout exposes the sharing to the scheduler.
+
+      introt   intra-vreg rotate + max only     (rotate issue-rate probe)
+      subroll  sublane roll by 8k + add + max   (renaming-freeness probe)
+      tilted   the exact full recursion in tilted layout
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert states % 128 == 0
+    n_vregs = states // 128
+    rows = n_vregs * BATCH_TILE
+    lo = -(width // 2)
+    shift0 = (-lo) % states
+
+    # Offsets grouped by lane residue; within a group by vreg shift
+    groups = {}
+    for d in range(width):
+        s = (shift0 - d) % states
+        groups.setdefault(s % 128, []).append((d, s // 128))
+
+    def kernel(obs_ref, band_ref, post_ref):
+        tb = pl.program_id(1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+        for k in range(FRAME_TILE):
+            t = tb * FRAME_TILE + k
+
+            @pl.when(t == 0)
+            def _init(k=k):
+                post_ref[...] = obs_ref[0, :, k, :]
+
+            @pl.when(t > 0)
+            def _step(k=k):
+                post = post_ref[...]  # (rows, 128)
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                i = 0
+                if variant == 'tilted':
+                    for r, items in groups.items():
+                        rot = (
+                            post if r == 0
+                            else pltpu.roll(post, r, 1))
+                        for d, q in items:
+                            a = pltpu.roll(rot, 8 * q, 0)
+                            if r == 0:
+                                v = a
+                            else:
+                                b = pltpu.roll(
+                                    rot, (8 * (q + 1)) % rows, 0)
+                                v = jnp.where(lane >= r, a, b)
+                            v = v + band_ref[d]
+                            accs[i % n_acc] = jnp.maximum(
+                                accs[i % n_acc], v)
+                            i += 1
+                elif variant == 'introt':
+                    for d in range(width):
+                        v = pltpu.roll(post, (shift0 - d) % 128, 1)
+                        accs[d % n_acc] = jnp.maximum(accs[d % n_acc], v)
+                    i = width
+                elif variant == 'subroll':
+                    for d in range(width):
+                        v = pltpu.roll(post, (8 * (d % n_vregs)) % rows, 0)
+                        v = v + band_ref[d]
+                        accs[d % n_acc] = jnp.maximum(accs[d % n_acc], v)
+                    i = width
+                else:
+                    raise ValueError(variant)
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                post_ref[...] = obs_ref[0, :, k, :] + m
+
+    grid = (batch // BATCH_TILE, frames // FRAME_TILE)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, FRAME_TILE, 128),
+                lambda n, t: (n, 0, t, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (width, rows, 128),
+                lambda n, t: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 128),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch // BATCH_TILE * rows, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=INTERPRET,
+    )
+    return jax.jit(lambda obs, band: call(obs, band))
+
+
+def tilt_obs(obs, n_vregs):
+    """(batch, frames, states) -> (batch/8, n_vregs*8, frames, 128)"""
+    batch, frames, states = obs.shape
+    tilted = obs.reshape(batch // 8, 8, frames, n_vregs, 128)
+    return np.ascontiguousarray(
+        tilted.transpose(0, 3, 1, 2, 4).reshape(
+            batch // 8, n_vregs * 8, frames, 128))
+
+
+def tilt_band(band, width, n_vregs):
+    """(width_padded, states) -> (width, n_vregs*8, 128), rows repeated
+    per batch sublane"""
+    rows = band[:width].reshape(width, n_vregs, 1, 128)
+    return np.ascontiguousarray(
+        np.broadcast_to(rows, (width, n_vregs, 8, 128)).reshape(
+            width, n_vregs * 8, 128))
+
+
+def untilt_posterior(post, batch, states):
+    """(batch/8*n_vregs*8, 128) -> (batch, states)"""
+    n_vregs = states // 128
+    out = post.reshape(batch // 8, n_vregs, 8, 128)
+    return np.ascontiguousarray(
+        out.transpose(0, 2, 1, 3).reshape(batch, states))
+
+
+def check_tilted(args):
+    """Bitwise-compare the tilted kernel against the production-shaped
+    'full' variant on the given shape (small shapes recommended)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal(
+        (args.batch, args.frames, args.states)).astype(np.float32)
+    width_padded = ((args.width + 7) // 8) * 8
+    band = rng.standard_normal(
+        (width_padded, args.states)).astype(np.float32)
+
+    full = build_kernel('full', args.batch, args.frames, args.states,
+                        args.width)
+    ref = np.asarray(full(jnp.asarray(obs), jnp.asarray(band)))
+
+    tilted = build_kernel_tilted(
+        'tilted', args.batch, args.frames, args.states, args.width)
+    n_vregs = args.states // 128
+    got_t = np.asarray(tilted(
+        jnp.asarray(tilt_obs(obs, n_vregs)),
+        jnp.asarray(tilt_band(band, args.width, n_vregs))))
+    got = untilt_posterior(got_t, args.batch, args.states)
+    match = np.array_equal(ref, got)
+    print(json.dumps({'tilted_bitwise_match': bool(match)}))
+    if not match:
+        bad = np.argwhere(ref != got)
+        print('first mismatches:', bad[:5].tolist())
+        print('ref', ref[tuple(bad[0])], 'got', got[tuple(bad[0])])
+    return match
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--variants', default='full,rollmax,addmax,max')
@@ -361,6 +537,9 @@ def main():
     parser.add_argument('--states', type=int, default=1536)
     parser.add_argument('--width', type=int, default=44)
     parser.add_argument('--iters', type=int, default=20)
+    parser.add_argument(
+        '--check', action='store_true',
+        help='bitwise-compare tilted vs full on this shape and exit')
     args = parser.parse_args()
 
     import jax
@@ -369,14 +548,18 @@ def main():
     import torbi_tpu  # noqa: F401  (enables the persistent compile cache)
     from torbi_tpu.utils.profile import time_submissions
 
+    if args.check:
+        sys.exit(0 if check_tilted(args) else 1)
+
     rng = np.random.default_rng(0)
-    obs = jnp.asarray(
-        rng.standard_normal(
-            (args.batch, args.frames, args.states)).astype(np.float32))
+    obs_host = rng.standard_normal(
+        (args.batch, args.frames, args.states)).astype(np.float32)
+    obs = jnp.asarray(obs_host)
     width_padded = ((args.width + 7) // 8) * 8
-    band = jnp.asarray(
-        rng.standard_normal(
-            (width_padded, args.states)).astype(np.float32))
+    band_host = rng.standard_normal(
+        (width_padded, args.states)).astype(np.float32)
+    band = jnp.asarray(band_host)
+    obs_t = band_t = None  # tilted copies, staged on first use
 
     candidates = args.batch * args.frames * args.width * args.states
     results = {}
@@ -387,6 +570,7 @@ def main():
         n_acc = int(parts[1]) if len(parts) > 1 and parts[1] else 4
         batch_tile = int(parts[2]) if len(parts) > 2 else BATCH_TILE
         t0 = time.perf_counter()
+        run_obs, run_band = obs, band
         if variant == 'mxushift':
             fn = build_kernel_mxushift(
                 args.batch, args.frames, args.states, args.width, n_acc,
@@ -396,12 +580,23 @@ def main():
             fn = build_kernel_mxushift(
                 args.batch, args.frames, args.states, args.width, 4,
                 batch_tile, mxu_k=n_acc)
+        elif variant in ('tilted', 'introt', 'subroll'):
+            fn = build_kernel_tilted(
+                variant, args.batch, args.frames, args.states, args.width,
+                n_acc)
+            if obs_t is None:
+                n_vregs = args.states // 128
+                obs_t = jnp.asarray(tilt_obs(obs_host, n_vregs))
+                band_t = jnp.asarray(
+                    tilt_band(band_host, args.width, n_vregs))
+            run_obs, run_band = obs_t, band_t
         else:
             fn = build_kernel(
                 variant, args.batch, args.frames, args.states, args.width,
                 n_acc, batch_tile)
         sec = time_submissions(
-            lambda: fn(obs, band), lambda r: r[0, 0], args.iters)
+            lambda fn=fn, a=run_obs, b=run_band: fn(a, b),
+            lambda r: r[0, 0], args.iters)
         compile_s = time.perf_counter() - t0
         results[spec] = sec * 1e3
         print(json.dumps({

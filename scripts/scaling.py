@@ -29,6 +29,9 @@ def main():
     parser.add_argument('--frames', type=int, default=128)
     parser.add_argument('--states', type=int, default=256)
     parser.add_argument('--iters', type=int, default=5)
+    parser.add_argument(
+        '--output', default=None,
+        help='append the result rows as one JSON artifact to this path')
     args = parser.parse_args()
 
     import jax
@@ -49,6 +52,7 @@ def main():
     n_devices = jax.device_count()
     scales = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_devices]
     base = None
+    rows = []
     for n in scales:
         batch = args.rows_per_device * n
         obs = jnp.asarray(synthetic_posteriorgrams(
@@ -64,12 +68,32 @@ def main():
         throughput = batch * args.frames / sec
         if base is None:
             base = throughput
-        print(json.dumps({
+        row = {
             'devices': n,
             'batch': batch,
             'timesteps_per_s': round(throughput),
             'efficiency': round(throughput / (n * base), 4),
-        }), flush=True)
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.output:
+        artifact = {
+            'platform': jax.devices()[0].platform,
+            'device_kind': jax.devices()[0].device_kind,
+            'rows_per_device': args.rows_per_device,
+            'frames': args.frames,
+            'states': args.states,
+            'iters': args.iters,
+            'scales': rows,
+        }
+        existing = []
+        if os.path.exists(args.output):
+            with open(args.output) as file:
+                existing = json.load(file)
+        existing.append(artifact)
+        with open(args.output, 'w') as file:
+            json.dump(existing, file, indent=1)
 
 
 if __name__ == '__main__':

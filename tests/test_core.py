@@ -66,3 +66,19 @@ def test_decode_torch_input():
         initial=torch.tensor(INITIAL),
         log_probs=False)
     assert (np.asarray(bins) == np.array([[1, 2, 2]])).all()
+
+
+def test_device_string_parity():
+    """The reference accepts gpu='mps' (/root/reference/torbi/core.py:146-
+    150); here strings select platforms and accelerator aliases resolve to
+    the default backend"""
+    import jax
+
+    from torbi_tpu.core import _device
+
+    assert _device(None) is None
+    assert _device(0) is jax.devices()[0]
+    assert _device('cpu') is jax.devices('cpu')[0]
+    # 'mps'/'cuda'/'gpu' alias the default accelerator platform
+    assert _device('mps') is jax.devices(jax.default_backend())[0]
+    assert _device('gpu:1') is jax.devices(jax.default_backend())[1]

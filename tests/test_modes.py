@@ -106,3 +106,74 @@ def test_lse_backend_staged_pipeline_matches_direct():
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='lse'))
     np.testing.assert_array_equal(staged, direct)
+
+
+def test_timesharded_backend_matches_oracle():
+    """backend='timesharded' routes dispatch through the exact
+    frame-sharded decoder and matches the sequential oracle (unique
+    argmax inputs)"""
+    from torbi_tpu.ops.dispatch import decode as dispatch_decode
+
+    rng = np.random.default_rng(7)
+    frames, states = 48, 6
+    obs, trans, init = _case(rng, frames, states, concentration=0.05)
+    bf = np.array([frames], dtype=np.int32)
+    expected = oracle.viterbi_numpy(obs[None], bf, trans, init)[0]
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs)[None], jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='timesharded'))
+    np.testing.assert_array_equal(got[0], expected)
+
+
+def test_timesharded_backend_padded_frames_keep_final_state():
+    """Padded-batch semantics parity: frames beyond batch_frames hold the
+    final decoded state (the reference's argmax-seed broadcast)"""
+    from torbi_tpu.ops.dispatch import decode as dispatch_decode
+
+    rng = np.random.default_rng(8)
+    frames, valid, states = 48, 36, 5
+    obs, trans, init = _case(rng, frames, states, concentration=0.05)
+    bf = np.array([valid], dtype=np.int32)
+    expected = oracle.viterbi_numpy(obs[None], bf, trans, init)[0]
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs)[None], jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='timesharded'))
+    np.testing.assert_array_equal(got[0], expected)
+
+
+def test_timesharded_auto_policy_routes_tiny_states(monkeypatch):
+    """The dispatch-level policy: a single long sequence with
+    2*states < local devices auto-routes to the time-sharded decoder"""
+    import torbi_tpu
+    from torbi_tpu.ops import dispatch
+
+    monkeypatch.setattr(torbi_tpu, 'TIME_SHARDED_MIN_FRAMES', 32,
+                        raising=False)
+    calls = []
+    real = dispatch._decode_timesharded
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dispatch, '_decode_timesharded', spy)
+
+    rng = np.random.default_rng(9)
+    frames, states = 64, 3  # 8 virtual devices > 2 * 3
+    obs, trans, init = _case(rng, frames, states, concentration=0.05)
+    bf = np.array([frames], dtype=np.int32)
+    expected = oracle.viterbi_numpy(obs[None], bf, trans, init)[0]
+    got = np.asarray(dispatch.decode(
+        jnp.asarray(obs)[None], jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas'))
+    assert calls, 'auto policy did not route to the time-sharded decoder'
+    np.testing.assert_array_equal(got[0], expected)
+
+    # Pitch-scale state counts must NOT take the route (cost model)
+    calls.clear()
+    states = 16  # 2 * 16 > 8 devices
+    obs, trans, init = _case(rng, frames, states, concentration=0.05)
+    dispatch.decode(
+        jnp.asarray(obs)[None], jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas')
+    assert not calls

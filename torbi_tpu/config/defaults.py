@@ -119,6 +119,23 @@ DECODE_MEMORY_BUDGET = 5_500_000_000
 # higher is closer to exact Viterbi (see ops/lse.py)
 LSE_BETA = 8.0
 
+# Route a single unchunked long sequence to the exact time-sharded decoder
+# (parallel/timesharded.py) when it actually wins. Cost model: the
+# max-plus-scan formulation does ~2*T/D*S^3 VPU work per chip versus T*S^2
+# for the serial kernels, so sharding T over D local devices only pays when
+# D > 2*S -- tiny state spaces on real meshes, never the 1440-state pitch
+# workload (which instead relies on entropy chunking, MIN_CHUNK_SIZE).
+# Decoded paths match the serial kernels whenever the optimal path is
+# unique; exact ties may resolve differently (the same caveat as the
+# reference's CPU-vs-CUDA tie divergence, SURVEY.md section 2.1), which is
+# why the policy is gated on a genuine win instead of always-on.
+# backend='timesharded' forces the route regardless of the cost model.
+TIME_SHARDED_AUTO = True
+
+# Minimum single-sequence frame count before the auto policy considers the
+# time-sharded route (shorter sequences never amortize the all_gather)
+TIME_SHARDED_MIN_FRAMES = 32768
+
 # Use the native (C++) threaded .npy batch loader when applicable
 USE_NATIVE_LOADER = True
 

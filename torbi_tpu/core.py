@@ -51,8 +51,22 @@ def _prepare_log(array, log_probs):
 
 
 def _device(gpu):
+    """Map the reference's flexible device argument to a jax device.
+
+    The reference accepts an integer CUDA index or the string 'mps'
+    (/root/reference/torbi/core.py:146-150). Here: None keeps the default
+    device; an integer indexes jax.devices(); a string selects a platform
+    -- 'cpu', 'tpu', or 'tpu:2'-style with an index. The accelerator
+    aliases 'mps', 'cuda' and 'gpu' resolve to the default backend so
+    reference call sites work unchanged on TPU.
+    """
     if gpu is None:
         return None
+    if isinstance(gpu, str):
+        platform, _, index = gpu.partition(':')
+        if platform in ('mps', 'cuda', 'gpu'):
+            platform = jax.default_backend()
+        return jax.devices(platform)[int(index) if index else 0]
     return jax.devices()[gpu]
 
 
@@ -80,7 +94,7 @@ def from_probabilities(
     transition=None,
     initial=None,
     log_probs: bool = False,
-    gpu: Optional[int] = None,
+    gpu: Optional[Union[int, str]] = None,
     num_threads: Optional[int] = 1,
     backend: Optional[str] = None,
 ):
@@ -102,9 +116,10 @@ def from_probabilities(
         log_probs
             Whether inputs are in (natural) log space
         gpu
-            Accelerator device index to use for decoding; None uses the
-            default jax device (the reference's semantics map CUDA index ->
-            jax device index)
+            Accelerator device to use for decoding: an index into
+            jax.devices(), or a platform string ('cpu', 'tpu', 'tpu:2';
+            the reference's 'mps'/'cuda' aliases resolve to the default
+            accelerator). None uses the default jax device.
         num_threads
             Accepted for reference API compatibility; unused on TPU
         backend
@@ -182,7 +197,7 @@ def from_file(
     transition_file: Optional[Union[str, os.PathLike]] = None,
     initial_file: Optional[Union[str, os.PathLike]] = None,
     log_probs: bool = False,
-    gpu: Optional[int] = None,
+    gpu: Optional[Union[int, str]] = None,
     num_threads: Optional[int] = 1,
 ):
     """Decode a time-varying categorical distribution file
@@ -243,7 +258,7 @@ def from_file_to_file(
     transition_file: Optional[Union[str, os.PathLike]] = None,
     initial_file: Optional[Union[str, os.PathLike]] = None,
     log_probs: bool = False,
-    gpu: Optional[int] = None,
+    gpu: Optional[Union[int, str]] = None,
     num_threads: Optional[int] = None,
 ) -> None:
     """Decode a time-varying categorical distribution file and save"""
@@ -263,7 +278,7 @@ def from_files_to_files(
     transition_file: Optional[Union[str, os.PathLike]] = None,
     initial_file: Optional[Union[str, os.PathLike]] = None,
     log_probs: bool = False,
-    gpu: Optional[int] = None,
+    gpu: Optional[Union[int, str]] = None,
     num_threads: Optional[int] = None,
     backend: Optional[str] = None,
 ) -> None:
@@ -321,7 +336,7 @@ def from_dataloader(
     transition=None,
     initial=None,
     log_probs: bool = False,
-    gpu: Optional[int] = None,
+    gpu: Optional[Union[int, str]] = None,
     num_threads: Optional[int] = 1,
     backend: Optional[str] = None,
 ) -> None:

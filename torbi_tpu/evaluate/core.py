@@ -67,6 +67,32 @@ def _aggregate_metrics(metrics):
         rpa.count = int(count)
 
 
+def _union_keys(keys):
+    """Agree on the union of string keys across host processes.
+
+    Hosts can legitimately hold different timing contexts (e.g. one host's
+    librosa targets are already cached on disk, so it never enters the
+    'librosa' context); gathering positionally from each host's local
+    sorted keys would misalign. Exchange the key sets first: each host
+    contributes its JSON-encoded key list padded to the pod-wide maximum
+    byte length, and every host decodes the union.
+    """
+    from jax.experimental import multihost_utils
+
+    encoded = np.frombuffer(
+        json.dumps(sorted(keys)).encode(), dtype=np.uint8)
+    lengths = np.asarray(multihost_utils.process_allgather(
+        np.array([encoded.size], np.int32)))
+    padded = np.zeros(int(lengths.max()), np.uint8)
+    padded[:encoded.size] = encoded
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    union = set()
+    for row, length in zip(gathered.reshape(lengths.size, -1),
+                           lengths.ravel()):
+        union.update(json.loads(row[:int(length)].tobytes().decode()))
+    return sorted(union)
+
+
 def _aggregate_seconds(timings):
     """Pod wall time per context: the slowest host bounds the pod, so
     aggregate with max; contexts missing on a host contribute nothing."""
@@ -76,7 +102,7 @@ def _aggregate_seconds(timings):
         return timings
     from jax.experimental import multihost_utils
 
-    keys = sorted(timings)
+    keys = _union_keys(timings)
     local = np.array(
         [timings.get(key, 0.0) for key in keys], np.float64)
     gathered = np.asarray(multihost_utils.process_allgather(local))

@@ -294,11 +294,20 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         frame_tile=FRAME_TILE,
                         external_band_matrix=False):
     width_padded = max(_round_up(width, 8), 8)
+    # Callers may pass any band tuple; the kernel body needs at least one
+    # candidate source per step (width == 0 is only meaningful with the
+    # constant-floor contribution)
+    assert width > 0 or floor is not None, (
+        'band width 0 requires a finite floor (constant transition)')
     # Frames per grid step: more frames per tile amortize per-step costs
     # (block_max, grid iteration, DMA setup) against VMEM block size
+    assert frame_tile >= 8 and frame_tile & (frame_tile - 1) == 0, (
+        f'BAND_FRAME_TILE must be a power of two >= 8, got {frame_tile}')
+    assert frames % 8 == 0, (
+        f'frames must be padded to a multiple of 8, got {frames} '
+        '(dispatch.bucket_frames does this)')
     while frames % frame_tile:
         frame_tile //= 2
-    frame_tile = max(frame_tile, 8)
     assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
     kernel = functools.partial(
         _band_kernel,

@@ -91,7 +91,12 @@ def _intern_mesh(mesh):
 def _auto_mesh_key(n_shards):
     from ..parallel import mesh as mesh_lib
 
-    devices = jax.devices()[:n_shards]
+    # LOCAL devices only: on a multi-host pod each process decodes its own
+    # file shard with process-local arrays (parallel/files.py), so the
+    # auto mesh must never span other hosts' chips -- jit with
+    # in_shardings over non-addressable devices fails at dispatch. Pod
+    # scale-out happens at the file-shard level, not here.
+    devices = jax.local_devices()[:n_shards]
     return _intern_mesh(mesh_lib.batch_mesh(devices=devices))
 
 
@@ -104,7 +109,7 @@ def resolve_mesh(mesh, batch):
         return _intern_mesh(mesh)
     if not getattr(torbi_tpu, 'AUTO_SHARD', True):
         return None
-    n_devices = jax.device_count()
+    n_devices = jax.local_device_count()
     if n_devices <= 1:
         return None
     n_shards = min(
@@ -275,6 +280,43 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
             NamedSharding(mesh, spec) for spec in specs))
 
 
+def _timesharded_mesh_size(frames, n_devices):
+    """Largest local-device count that divides the sequence length"""
+    for n in range(n_devices, 1, -1):
+        if frames % n == 0:
+            return n
+    return 1
+
+
+def _decode_timesharded(observation, batch_frames, transition, initial,
+                        log_input, apply_epsilon):
+    """Route one batch row through the exact time-sharded decoder
+    (parallel/timesharded.py), honoring the staged pipeline's conversion
+    and padded-frame semantics (frames beyond batch_frames keep the final
+    decoded state, matching the reference's argmax-seed broadcast,
+    /root/reference/torbi/csrc/viterbi.cpp:218-221)."""
+    from ..parallel import mesh as mesh_lib
+    from ..parallel.timesharded import decode_time_sharded
+
+    states = int(transition.shape[0])
+    frames = observation.shape[1]
+    valid = int(jax.device_get(batch_frames[0]))
+    obs = observation[0, :valid, :states]
+    if not log_input:
+        obs = jnp.log(obs)
+    if apply_epsilon:
+        obs = jnp.log(jnp.exp(obs) + np.float32(np.finfo(np.float32).tiny))
+
+    n = _timesharded_mesh_size(valid, jax.local_device_count())
+    decode_mesh = mesh_lib.batch_mesh(devices=jax.local_devices()[:n])
+    decoded = decode_time_sharded(obs, transition, initial, decode_mesh)
+    if valid < frames:
+        decoded = jnp.concatenate([
+            decoded,
+            jnp.full((frames - valid,), decoded[valid - 1], jnp.int32)])
+    return decoded[None]
+
+
 def decode(observation, batch_frames, transition, initial, backend=None,
            finite_observation=False, log_input=True, apply_epsilon=False,
            mesh=None):
@@ -308,6 +350,27 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             f'128 multiple with -inf)')
     if apply_epsilon:
         finite_observation = True
+
+    # Exact time-sharded route for single long sequences: forced by
+    # backend='timesharded', or taken automatically when the cost model
+    # says sharding the frame axis beats the serial kernels (see
+    # config/defaults.py TIME_SHARDED_AUTO -- requires more local devices
+    # than ~2x the state count, so it never fires at pitch-scale S)
+    if backend == 'timesharded' or (
+            backend in ('pallas', 'band')
+            and getattr(torbi_tpu, 'TIME_SHARDED_AUTO', True)
+            and mesh is None
+            and batch == 1
+            and frames >= int(
+                getattr(torbi_tpu, 'TIME_SHARDED_MIN_FRAMES', 32768))
+            and jax.local_device_count() > 2 * states):
+        if batch != 1:
+            raise ValueError(
+                "backend='timesharded' decodes one sequence (batch 1), "
+                f'got batch {batch}')
+        return _decode_timesharded(
+            observation, batch_frames, transition, initial,
+            log_input, apply_epsilon)
 
     interpret = jax.default_backend() != 'tpu'
 
