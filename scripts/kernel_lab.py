@@ -471,6 +471,188 @@ def build_kernel_tilted(variant, batch, frames, states, width, n_acc=4):
     return jax.jit(lambda obs, band: call(obs, band))
 
 
+def build_mod12_plan(states, width, band_host):
+    """Stitched-band plan for the mod-12 layout kernel.
+
+    Layout: state s lives at (sublane (s mod M)*8 + b, lane s div M) with
+    M = states / 128 (M=12 at S=1536). A candidate shift sigma then only
+    moves lanes by k or k+1 where sigma = M*k + rho -- ~width/M distinct
+    lane-rotates for the WHOLE band -- plus a free sublane rename by rho.
+    The k-vs-k+1 row carry is folded into per-(rotate, rename) stitched
+    band matrices built here: B[(alpha, beta)][cell] holds the band weight
+    of the unique shift whose candidate lands at that cell through that
+    (lane-rotate alpha, sublane-rename beta) composition, -inf elsewhere.
+    Every (output state, in-band shift) candidate is covered exactly once
+    (asserted), so max over all pairs is bit-exact.
+    """
+    M = states // 128
+    rows = M * 8
+    lo = -(width // 2)
+
+    # Candidate shifts sigma (source = output + sigma + ... in the lab's
+    # convention the roll amount is s(d) = (shift0 - d) mod states; the
+    # SOURCE index is output_lane_pos - s(d) i.e. source = j - s(d) mod
+    # states... keep the same convention as build_kernel: rolled[j] =
+    # post[(j - s) mod states], candidate d at output j reads
+    # post[(j - s(d)) mod states] + band[d, j].
+    shift0 = (-lo) % states
+    shifts = [(d, (shift0 - d) % states) for d in range(width)]
+
+    # For output state j at (r_out = j mod M, l_out = j div M), candidate
+    # d reads source u = (j - s) mod states at (u mod M, u div M).
+    # Lane-rotate alpha: X[sub, l] = post[sub, (l - alpha) mod 128]
+    # Sublane-rename beta rows: Z[sub, l] = X[(sub - 8*beta) mod rows, l]
+    # Z holds, at cell (r_out*8+b, l_out), the posterior of state
+    # u' with u' mod M = (r_out - beta) mod M and
+    # u' div M = (l_out - alpha) mod 128.
+    pairs = {}
+    owner = {}
+    for d, s in shifts:
+        sigma = -s % states  # source u = (j - s) mod = (j + sigma) mod
+        beta = (-sigma) % M  # (r_out - beta) ≡ (r_out + sigma)  (mod M)
+        for r_out in range(M):
+            # u div M = (l_out + kk) mod 128 with kk = (r_out+sigma) div M,
+            # so the lane-rotate must be alpha = (-kk) mod 128
+            kk = (r_out + sigma) // M
+            alpha = (-kk) % 128
+            key = (alpha, beta)
+            mat = pairs.setdefault(
+                key, np.full((rows, 128), NEG_INF, np.float32))
+            # Each (alpha, beta, r_out) stripe has a unique owning shift
+            assert owner.setdefault((key, r_out), d) == d, (
+                'stitch collision')
+            # band value depends on the output state j = M*l_out + r_out
+            jcols = np.arange(128) * M + r_out
+            row_vals = band_host[d, jcols].astype(np.float32)
+            for b in range(8):
+                mat[r_out * 8 + b] = row_vals
+    return pairs
+
+
+def build_kernel_mod12(batch, frames, states, width, band_host, n_acc=4):
+    """The stitched mod-12 layout kernel (see build_mod12_plan)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = states // 128
+    rows = M * 8
+    plan = build_mod12_plan(states, width, band_host)
+    keys = sorted(plan)
+    stitched = np.stack([plan[key] for key in keys])  # (P, rows, 128)
+    alphas = sorted({alpha for alpha, _ in keys})
+
+    def kernel(obs_ref, band_ref, post_ref):
+        tb = pl.program_id(1)
+
+        for k in range(FRAME_TILE):
+            t = tb * FRAME_TILE + k
+
+            @pl.when(t == 0)
+            def _init(k=k):
+                post_ref[...] = obs_ref[0, :, k, :]
+
+            @pl.when(t > 0)
+            def _step(k=k):
+                post = post_ref[...]  # (rows, 128)
+                rotated = {
+                    alpha: (post if alpha == 0
+                            else pltpu.roll(post, alpha, 1))
+                    for alpha in alphas}
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for i, (alpha, beta) in enumerate(keys):
+                    v = rotated[alpha]
+                    if beta:
+                        v = pltpu.roll(v, (8 * beta) % rows, 0)
+                    accs[i % n_acc] = jnp.maximum(
+                        accs[i % n_acc], v + band_ref[i])
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                post_ref[...] = obs_ref[0, :, k, :] + m
+
+    grid = (batch // BATCH_TILE, frames // FRAME_TILE)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, FRAME_TILE, 128),
+                lambda n, t: (n, 0, t, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (len(keys), rows, 128),
+                lambda n, t: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 128),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch // BATCH_TILE * rows, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=INTERPRET,
+    )
+    import jax.numpy as jnp2
+    stitched_dev = jnp2.asarray(stitched)
+    return jax.jit(lambda obs, band: call(obs, stitched_dev)), len(keys)
+
+
+def mod12_obs(obs, states):
+    """(batch, frames, states) -> (batch/8, M*8, frames, 128) in the
+    mod-M layout: state s at (sublane (s mod M)*8 + b, lane s div M)"""
+    M = states // 128
+    batch, frames, _ = obs.shape
+    # s = M*l + r -> split as (l, r) then order rows (r, b)
+    arr = obs.reshape(batch // 8, 8, frames, 128, M)
+    arr = arr.transpose(0, 4, 1, 2, 3)  # (B/8, M, 8, T, 128)
+    return np.ascontiguousarray(
+        arr.reshape(batch // 8, M * 8, frames, 128))
+
+
+def unmod12_posterior(post, batch, states):
+    """(batch/8*M*8, 128) -> (batch, states)"""
+    M = states // 128
+    arr = post.reshape(batch // 8, M, 8, 128)
+    arr = arr.transpose(0, 2, 3, 1)  # (B/8, 8, 128, M): s = M*l + r
+    return np.ascontiguousarray(arr.reshape(batch, states))
+
+
+def check_mod12(args):
+    """Bitwise-compare the stitched mod-12 kernel against 'full'."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal(
+        (args.batch, args.frames, args.states)).astype(np.float32)
+    width_padded = ((args.width + 7) // 8) * 8
+    band = rng.standard_normal(
+        (width_padded, args.states)).astype(np.float32)
+
+    full = build_kernel('full', args.batch, args.frames, args.states,
+                        args.width)
+    ref = np.asarray(full(jnp.asarray(obs), jnp.asarray(band)))
+
+    fn, n_pairs = build_kernel_mod12(
+        args.batch, args.frames, args.states, args.width, band)
+    got_t = np.asarray(fn(
+        jnp.asarray(mod12_obs(obs, args.states)), None))
+    got = unmod12_posterior(got_t, args.batch, args.states)
+    match = np.array_equal(ref, got)
+    print(json.dumps(
+        {'mod12_bitwise_match': bool(match), 'stitched_pairs': n_pairs}))
+    if not match:
+        bad = np.argwhere(ref != got)
+        print('first mismatches:', bad[:5].tolist())
+        print('ref', ref[tuple(bad[0])], 'got', got[tuple(bad[0])])
+    return match
+
+
 def tilt_obs(obs, n_vregs):
     """(batch, frames, states) -> (batch/8, n_vregs*8, frames, 128)"""
     batch, frames, states = obs.shape
@@ -540,6 +722,9 @@ def main():
     parser.add_argument(
         '--check', action='store_true',
         help='bitwise-compare tilted vs full on this shape and exit')
+    parser.add_argument(
+        '--check-mod12', action='store_true',
+        help='bitwise-compare the stitched mod-12 kernel vs full and exit')
     args = parser.parse_args()
 
     import jax
@@ -550,6 +735,8 @@ def main():
 
     if args.check:
         sys.exit(0 if check_tilted(args) else 1)
+    if args.check_mod12:
+        sys.exit(0 if check_mod12(args) else 1)
 
     rng = np.random.default_rng(0)
     obs_host = rng.standard_normal(
@@ -590,6 +777,14 @@ def main():
                 band_t = jnp.asarray(
                     tilt_band(band_host, args.width, n_vregs))
             run_obs, run_band = obs_t, band_t
+        elif variant == 'mod12':
+            fn, n_pairs = build_kernel_mod12(
+                args.batch, args.frames, args.states, args.width,
+                band_host, n_acc)
+            print(json.dumps({'mod12_stitched_pairs': n_pairs}),
+                  flush=True)
+            run_obs = jnp.asarray(mod12_obs(obs_host, args.states))
+            run_band = band
         else:
             fn = build_kernel(
                 variant, args.batch, args.frames, args.states, args.width,

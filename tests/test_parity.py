@@ -286,3 +286,79 @@ def test_librosa_style_oracle_agrees():
     got = oracle.viterbi_numpy(
         obs, np.array([frames]), trans, init)[0]
     np.testing.assert_array_equal(got, path64)
+
+
+@pytest.mark.parametrize('with_floor', [False, True])
+def test_tilted_band_kernel_matches_dense(monkeypatch, with_floor):
+    """BAND_KERNEL_LAYOUT='tilted' (shared intra-vreg rotates + sublane
+    renames + lane-mask selects) is bitwise identical to the rolled kernel
+    and the dense oracle, including padded batches, the constant-floor
+    contribution, and the folded epsilon conversion"""
+    import torbi_tpu
+    from torbi_tpu.ops import band as band_ops
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'tilted',
+                        raising=False)
+
+    rng = np.random.default_rng(23)
+    batch, frames, states, halfwidth = 4, 26, 160, 7
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = trans / trans.sum(axis=1, keepdims=True)
+    if with_floor:
+        trans = np.log(trans.astype(np.float32) + tiny)
+    else:
+        trans = np.log(trans).astype(np.float32)  # -inf exterior
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames, frames - 5, 1, frames], dtype=np.int32)
+
+    detected = band_ops.detect_band(jnp.asarray(trans))
+    assert detected is not None and detected[1] > 0
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_tilted_band_kernel_lane_padded_epsilon(monkeypatch):
+    """Tilted layout with a lane-padded observation stream and the folded
+    probability->log + epsilon conversion (the production file-workload
+    configuration)"""
+    import torbi_tpu
+    from torbi_tpu.ops import band as band_ops
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'tilted',
+                        raising=False)
+
+    rng = np.random.default_rng(29)
+    batch, frames, states, halfwidth = 2, 19, 100, 4
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames, frames - 4], dtype=np.int32)
+
+    # Lane-pad the observation to the next 128 multiple, as the data
+    # pipeline does at load time
+    states_p = ((states + 127) // 128) * 128
+    padded = np.full((batch, frames, states_p), -np.inf, np.float32)
+    padded[..., :states] = obs
+
+    obs_eps = np.log(np.exp(obs) + tiny)
+    expected = oracle.viterbi_numpy(obs_eps, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(padded), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', apply_epsilon=True))
+    np.testing.assert_array_equal(got, expected)

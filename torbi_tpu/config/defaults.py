@@ -93,6 +93,14 @@ AUTO_SHARD = True
 # VMEM pipelining granularity more than they save in per-step overhead)
 BAND_FRAME_TILE = 8
 
+# Band forward-kernel layout. 'rolled': one full-width lane roll per
+# diagonal offset (the round-2 kernel). 'tilted': posterior stored
+# (S/128*8, 128) -- state s = 128a + l at sublane a*8 + batch_row, lane l
+# -- so a shift s = 128q + r costs one intra-vreg rotate by r SHARED by
+# every offset with that residue, plus free sublane renames and an ALU
+# select (ops/band.py::_band_kernel_tilted). Bitwise identical results.
+BAND_KERNEL_LAYOUT = 'rolled'
+
 # Backtrace kernel flavor: True lowers the frame chase as a fori_loop
 # (Mosaic program ~100x smaller -> compiles in seconds instead of many
 # minutes, identical math); False keeps the fully unrolled variant.

@@ -287,12 +287,175 @@ def _band_kernel(
             postseq_ref[:, k, :] = post_ref[...]
 
 
+def build_band_matrix_tilted(band_matrix, states_padded):
+    """Tilt a (width_padded, S) band matrix to (width_padded, R, 128).
+
+    Tilted layout (see _band_kernel_tilted): destination state
+    s = 128*a + l lives at sublane a*BATCH_TILE + b, lane l -- the band
+    value is batch-independent, so each a-row is repeated across the
+    BATCH_TILE b-sublanes. Traced (jit-safe)."""
+    width_padded = band_matrix.shape[0]
+    n_vregs = states_padded // 128
+    rows = band_matrix.reshape(width_padded, n_vregs, 1, 128)
+    return jnp.broadcast_to(
+        rows, (width_padded, n_vregs, BATCH_TILE, 128)).reshape(
+            width_padded, n_vregs * BATCH_TILE, 128)
+
+
+def _band_kernel_tilted(
+        obs_ref,       # (8, ft, S_in) VMEM block at (n, t); S_in unpadded
+        band_ref,      # (width_padded, R, 128) VMEM, resident (tilted)
+        init_ref,      # (1, S) VMEM, resident
+        frames_ref,    # (8, 1) int32 VMEM block at (n, 0)
+        postseq_ref,   # out: (8, ft, S) float32 block at (n, t)
+        post_ref,      # out: (8, S) float32 block at (n, 0)
+        carry_ref,     # out: (R, 128) float32 block at (n, 0) -- the
+                       #      TILTED posterior carry
+        *,
+        states_in,
+        states_padded,
+        lo,
+        width,
+        floor,
+        log_input=True,
+        apply_epsilon=False,
+        frame_tile=FRAME_TILE):
+    """Tilted-layout banded forward step.
+
+    State s = 128*a + l sits at (sublane a*8 + b, lane l) for batch row b
+    (R = 8 * S/128 sublanes by 128 lanes). An arbitrary state shift
+    s_shift = 128*q + r then costs ONE intra-vreg lane rotate by r --
+    shared by every diagonal offset with the same lane residue r -- plus
+    two sublane rolls by multiples of 8 (pure vreg renaming, free on the
+    measured v5e lowering) and one lane-mask select (ALU). The rolled
+    layout pays a full-width unaligned roll (rotates + unshared cross-vreg
+    merges on the permute port) per offset; this layout exposes the rotate
+    sharing, cutting permute-port pressure by ~width/128 and moving the
+    merge selects to the ALUs, which have slack (kernel-lab measurements
+    in config/defaults.py).
+
+    Tilt/untilt are sublane-aligned vreg moves (12 per frame at S=1536),
+    paid once per frame rather than per offset; postseq and the final
+    posterior are written UNTILTED so the backtrace kernel and dispatch
+    glue are unchanged.
+    """
+    tb = pl.program_id(1)
+    n_vregs = states_padded // 128
+    rows = n_vregs * BATCH_TILE
+
+    def obs_col(k):
+        # Same conversion fold as _band_kernel (probability->log and the
+        # reference epsilon, torbi/core.py:188-197)
+        col = obs_ref[:, k, :]
+        if not log_input:
+            col = jnp.log(col)
+        if apply_epsilon:
+            col = jnp.log(
+                jnp.exp(col) + jnp.float32(jnp.finfo(jnp.float32).tiny))
+        if states_in == states_padded:
+            return col
+        pad = jnp.full(
+            (BATCH_TILE, states_padded - states_in), NEG_INF, jnp.float32)
+        return jnp.concatenate([col, pad], axis=1)
+
+    def tilt(col):
+        # (8, S) -> (R, 128): sublane-aligned vreg moves
+        return jnp.concatenate(
+            [col[:, i * 128:(i + 1) * 128] for i in range(n_vregs)],
+            axis=0)
+
+    def untilt(tilted):
+        # (R, 128) -> (8, S)
+        return jnp.concatenate(
+            [tilted[i * BATCH_TILE:(i + 1) * BATCH_TILE, :]
+             for i in range(n_vregs)],
+            axis=1)
+
+    # Offsets grouped by lane residue r of the roll shift; within a
+    # residue they differ only by free sublane renames
+    shift0 = (-lo) % states_padded
+    groups = {}
+    for d in range(width):
+        s = (shift0 - d) % states_padded
+        groups.setdefault(s % 128, []).append((d, s // 128))
+
+    block_max = frames_ref[0, 0]
+    for b in range(1, BATCH_TILE):
+        block_max = jnp.maximum(block_max, frames_ref[b, 0])
+    frames_col = frames_ref[...]  # (8, 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    for k in range(frame_tile):
+        t = tb * frame_tile + k
+
+        @pl.when(t == 0)
+        def _init(k=k):
+            post0 = obs_col(0) + init_ref[...]
+            post_ref[...] = post0
+            postseq_ref[:, k, :] = post0
+            carry_ref[...] = tilt(post0)
+
+        @pl.when(jnp.logical_and(t > 0, t < block_max))
+        def _step(k=k, t=t):
+            post = carry_ref[...]  # (R, 128), tilted
+
+            m = None
+            n_acc = min(4, max(width, 1))
+            if width:
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                i = 0
+                for r, items in groups.items():
+                    rot = post if r == 0 else pltpu.roll(post, r, 1)
+                    for d, q in items:
+                        a = pltpu.roll(rot, (8 * q) % rows, 0)
+                        if r == 0:
+                            v = a
+                        else:
+                            b = pltpu.roll(rot, (8 * (q + 1)) % rows, 0)
+                            v = jnp.where(lane >= r, a, b)
+                        v = v + band_ref[d]
+                        accs[i % n_acc] = jnp.maximum(accs[i % n_acc], v)
+                        i += 1
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+
+            if floor is not None:
+                # Global per-batch-row posterior max in tilted layout:
+                # reduce the n_vregs a-groups (aligned vreg maxes), then
+                # lanes; broadcast back across the a-groups
+                per_a = post[:BATCH_TILE, :]
+                for i in range(1, n_vregs):
+                    per_a = jnp.maximum(
+                        per_a, post[i * BATCH_TILE:(i + 1) * BATCH_TILE, :])
+                gmax = jnp.max(per_a, axis=1, keepdims=True)  # (8, 1)
+                fm = jnp.concatenate([gmax] * n_vregs, axis=0) + floor
+                m = fm if m is None else jnp.maximum(m, fm)
+
+            new_tilted = tilt(obs_col(k)) + m
+            valid = t < frames_col  # (8, 1)
+            valid_t = jnp.concatenate([valid] * n_vregs, axis=0)  # (R, 1)
+            kept_tilted = jnp.where(valid_t, new_tilted, post)
+            kept = untilt(kept_tilted)
+            post_ref[...] = kept
+            postseq_ref[:, k, :] = kept
+            carry_ref[...] = kept_tilted
+
+        @pl.when(jnp.logical_and(t > 0, t >= block_max))
+        def _padded(k=k):
+            postseq_ref[:, k, :] = post_ref[...]
+
+
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         floor, interpret=False,
                         log_input=True, apply_epsilon=False,
                         frame_tile=FRAME_TILE,
-                        external_band_matrix=False):
+                        external_band_matrix=False,
+                        layout='rolled'):
     width_padded = max(_round_up(width, 8), 8)
     # Callers may pass any band tuple; the kernel body needs at least one
     # candidate source per step (width == 0 is only meaningful with the
@@ -309,8 +472,11 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
     while frames % frame_tile:
         frame_tile //= 2
     assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
+    # Tilted layout only pays when there are rolls to share (width > 0);
+    # the width-0 constant-transition path stays on the rolled kernel
+    tilted = layout == 'tilted' and width > 0
     kernel = functools.partial(
-        _band_kernel,
+        _band_kernel_tilted if tilted else _band_kernel,
         states_in=states_in,
         states_padded=states_padded,
         lo=lo,
@@ -320,14 +486,16 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         apply_epsilon=apply_epsilon,
         frame_tile=frame_tile)
     grid = (batch // BATCH_TILE, frames // frame_tile)
+    rows = states_padded // 128 * BATCH_TILE
     in_specs = [
         pl.BlockSpec(
             (BATCH_TILE, frame_tile, states_in),
             lambda n, t: (n, t, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (width_padded, states_padded),
-            lambda n, t: (0, 0),
+            (width_padded, rows, 128) if tilted
+            else (width_padded, states_padded),
+            (lambda n, t: (0, 0, 0)) if tilted else (lambda n, t: (0, 0)),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (1, states_padded),
@@ -348,16 +516,27 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             lambda n, t: (n, 0),
             memory_space=pltpu.VMEM),
     ]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (batch, frames, states_padded), jnp.float32),
+        jax.ShapeDtypeStruct((batch, states_padded), jnp.float32),
+    ]
+    if tilted:
+        # The tilted posterior carry rides a third output (constant index
+        # map = persists across the frame grid axis, the same pattern as
+        # the posterior carry)
+        out_specs.append(pl.BlockSpec(
+            (rows, 128),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch // BATCH_TILE * rows, 128), jnp.float32))
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (batch, frames, states_padded), jnp.float32),
-            jax.ShapeDtypeStruct((batch, states_padded), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=batch * frames * 3 * width * states_padded,
             bytes_accessed=(
@@ -369,25 +548,31 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret)
 
+    def run(observation, band_matrix, initial, bf):
+        out = call(
+            observation,
+            band_matrix,
+            initial.reshape(1, states_padded),
+            bf.reshape(batch, 1))
+        return out[0], out[1]  # drop the tilted carry when present
+
     if external_band_matrix:
         # The compressed band matrix is prepared once per transition by the
-        # dispatcher (deriving it in-graph cost a 2.75 ms gather per call)
+        # dispatcher (deriving it in-graph cost a 2.75 ms gather per call);
+        # the dispatcher pre-tilts it for the tilted layout
         def forward(observation, batch_frames, band_matrix, initial):
-            bf = batch_frames.astype(jnp.int32)
-            return call(
-                observation,
-                band_matrix,
-                initial.reshape(1, states_padded),
-                bf.reshape(batch, 1))
+            return run(
+                observation, band_matrix, initial,
+                batch_frames.astype(jnp.int32))
     else:
         def forward(observation, batch_frames, transition_padded, initial):
             band_matrix = build_band_matrix(transition_padded, lo, width)
-            bf = batch_frames.astype(jnp.int32)
-            return call(
-                observation,
-                band_matrix,
-                initial.reshape(1, states_padded),
-                bf.reshape(batch, 1))
+            if tilted:
+                band_matrix = build_band_matrix_tilted(
+                    band_matrix, states_padded)
+            return run(
+                observation, band_matrix, initial,
+                batch_frames.astype(jnp.int32))
 
     return jax.jit(forward)
 
@@ -424,7 +609,8 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
         batch, frames, states_in, states_padded, lo, width, floor,
         interpret, log_input, apply_epsilon,
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', FRAME_TILE)),
-        external_band_matrix=band_matrix is not None)
+        external_band_matrix=band_matrix is not None,
+        layout=str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')))
     if band_matrix is not None:
         return fwd(observation, batch_frames, band_matrix, initial)
     return fwd(observation, batch_frames, transition_padded, initial)

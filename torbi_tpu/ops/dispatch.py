@@ -51,6 +51,8 @@ _init_prep_cache = {}
 
 
 def _prepare_padded(transition, initial, states, states_p, band):
+    layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
+
     def trans_compute():
         trans_p = jnp.pad(
             transition,
@@ -59,11 +61,14 @@ def _prepare_padded(transition, initial, states, states_p, band):
         band_matrix = (
             band_ops.build_band_matrix(trans_p, band[0], band[1])
             if band is not None else None)
+        if band_matrix is not None and layout == 'tilted' and band[1] > 0:
+            band_matrix = band_ops.build_band_matrix_tilted(
+                band_matrix, states_p)
         return trans_p, band_matrix
 
     trans_p, band_matrix = _identity_cached(
         _trans_prep_cache, transition, trans_compute,
-        extra_key=(states_p, band))
+        extra_key=(states_p, band, layout))
 
     def init_compute():
         return jnp.pad(
@@ -177,6 +182,7 @@ def _config_key():
         torbi_tpu.BACKTRACE_LOOP,
         float(torbi_tpu.LSE_BETA),
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', 8)),
+        str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
     )
 
 
