@@ -275,7 +275,7 @@ def test_two_process_evaluate_aggregates_metrics(tmp_path):
              str(spec_file)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for rank in range(2)]
-    outputs = [worker.communicate(timeout=600)[0] for worker in workers]
+    outputs = [worker.communicate(timeout=900)[0] for worker in workers]
     for worker, output in zip(workers, outputs):
         assert worker.returncode == 0, output[-3000:]
 

@@ -288,16 +288,19 @@ def test_librosa_style_oracle_agrees():
     np.testing.assert_array_equal(got, path64)
 
 
+@pytest.mark.parametrize('layout', ['tilted', 'stitched'])
 @pytest.mark.parametrize('with_floor', [False, True])
-def test_tilted_band_kernel_matches_dense(monkeypatch, with_floor):
-    """BAND_KERNEL_LAYOUT='tilted' (shared intra-vreg rotates + sublane
-    renames + lane-mask selects) is bitwise identical to the rolled kernel
-    and the dense oracle, including padded batches, the constant-floor
+def test_alt_layout_band_kernel_matches_dense(monkeypatch, with_floor,
+                                              layout):
+    """The alternative band-kernel layouts ('tilted': shared intra-vreg
+    rotates + lane-mask selects; 'stitched': mod-M layout with stitched
+    band matrices) are bitwise identical to the rolled kernel and the
+    dense oracle, including padded batches, the constant-floor
     contribution, and the folded epsilon conversion"""
     import torbi_tpu
     from torbi_tpu.ops import band as band_ops
 
-    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'tilted',
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', layout,
                         raising=False)
 
     rng = np.random.default_rng(23)
@@ -326,14 +329,15 @@ def test_tilted_band_kernel_matches_dense(monkeypatch, with_floor):
     np.testing.assert_array_equal(got, expected)
 
 
-def test_tilted_band_kernel_lane_padded_epsilon(monkeypatch):
-    """Tilted layout with a lane-padded observation stream and the folded
-    probability->log + epsilon conversion (the production file-workload
-    configuration)"""
+@pytest.mark.parametrize('layout', ['tilted', 'stitched'])
+def test_alt_layout_band_kernel_lane_padded_epsilon(monkeypatch, layout):
+    """Alternative layouts with a lane-padded observation stream and the
+    folded probability->log + epsilon conversion (the production
+    file-workload configuration)"""
     import torbi_tpu
     from torbi_tpu.ops import band as band_ops
 
-    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'tilted',
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', layout,
                         raising=False)
 
     rng = np.random.default_rng(29)

@@ -71,16 +71,20 @@ USE_BAND_KERNEL = True
 # banded kernel is preferred over the dense kernel
 BAND_MAX_FRACTION = 0.5
 
-# NOTE (negative result): a speculative gated-tail band kernel -- full
-# recursion over a narrow core of diagonal offsets, tail offsets executed
-# per 128/384-lane unit only when an exact bound said they could matter --
-# was implemented and bit-exact, but always LOST on v5e: both the tail
-# extraction (unaligned lane slices) and the sliding-max bounds are
-# permute-port traffic, the very resource the band kernel is bound by
-# (~1 vreg/cycle vs ~4 ALU ops/cycle). Roll-sharing across (shift mod
-# 128) residue classes and one-hot matmul shifts on the MXU also failed
-# (measured in scripts/kernel_lab.py); the per-offset roll loop in
-# ops/band.py is at the permute-port floor for this algorithm.
+# NOTE (negative results, scripts/kernel_lab.py): a speculative
+# gated-tail band kernel -- full recursion over a narrow core of diagonal
+# offsets, tail offsets executed per 128/384-lane unit only when an exact
+# bound said they could matter -- was implemented and bit-exact, but
+# always LOST on v5e: both the tail extraction (unaligned lane slices)
+# and the sliding-max bounds are permute-port traffic. Roll-sharing
+# across (shift mod 128) residue classes in the NATURAL layout (rolls or
+# slice+concat rotations), intra-vreg-rotate sharing with lane-mask
+# selects ('tilted'), and one-hot matmul shifts on the MXU also failed:
+# the permute port charges ~0.77 vreg/cycle for ANY lane-crossing permute
+# regardless of distance. What finally beat the rolled kernel is the
+# 'stitched' mod-M layout below, which needs only ~width/M + 1 distinct
+# lane-rotates per frame and pushes the rest onto free sublane renames
+# and the ALUs (94.6 -> 36.1 ms raw kernel at the headline shape).
 
 # Shard the batch axis over all local devices automatically whenever more
 # than one device is visible and the batch is large enough to feed them
@@ -93,13 +97,19 @@ AUTO_SHARD = True
 # VMEM pipelining granularity more than they save in per-step overhead)
 BAND_FRAME_TILE = 8
 
-# Band forward-kernel layout. 'rolled': one full-width lane roll per
-# diagonal offset (the round-2 kernel). 'tilted': posterior stored
-# (S/128*8, 128) -- state s = 128a + l at sublane a*8 + batch_row, lane l
-# -- so a shift s = 128q + r costs one intra-vreg rotate by r SHARED by
-# every offset with that residue, plus free sublane renames and an ALU
-# select (ops/band.py::_band_kernel_tilted). Bitwise identical results.
-BAND_KERNEL_LAYOUT = 'rolled'
+# Band forward-kernel layout; all bitwise identical.
+# 'stitched' (default): mod-M layout -- state s at (sublane (s mod M)*8 +
+#   batch_row, lane s div M), M = S_padded/128 -- so a band shift sigma
+#   needs a lane-rotate by only sigma div M: ~width/M + 1 DISTINCT
+#   rotates for the whole band, shared across offsets, plus free sublane
+#   renames and one masked add+max per stitched pair (ops/band.py::
+#   mod_plan). Measured 36.1 ms vs 94.6 ms rolled for the raw kernel at
+#   the headline shape (scripts/kernel_lab.py 'mod12', v5e) -- the
+#   permute port stops being the binding resource.
+# 'rolled': one full-width lane roll per diagonal offset (round-2 kernel).
+# 'tilted': shared intra-vreg rotates + lane-mask selects (measured no
+#   better than rolled: intra-vreg rotates cost the same as full rolls).
+BAND_KERNEL_LAYOUT = 'stitched'
 
 # Backtrace kernel flavor: True lowers the frame chase as a fori_loop
 # (Mosaic program ~100x smaller -> compiles in seconds instead of many

@@ -449,6 +449,156 @@ def _band_kernel_tilted(
             postseq_ref[:, k, :] = post_ref[...]
 
 
+def mod_plan(states_padded, lo, width):
+    """Static structure of the stitched mod-M band decomposition.
+
+    Layout: state s lives at (sublane (s mod M)*8 + b, lane s div M) with
+    M = states_padded / 128. A candidate source offset sigma = d + lo then
+    reaches its destination through a lane-rotate alpha = -((r + sigma)
+    div M) mod 128 (r = destination row) and a sublane rename beta =
+    (-sigma) mod M. Only ~width/M + 1 DISTINCT lane-rotates exist for the
+    whole band -- shared by every offset -- while renames are free vreg
+    renaming on v5e (measured, scripts/kernel_lab.py 'subroll'). The
+    per-offset work collapses to one masked add + max against a stitched
+    band matrix per (alpha, beta) pair (~width + M pairs total).
+
+    Returns (keys, pairs): sorted (alpha, beta) keys and, per key, the
+    {destination row r: band offset d} assignment. Each (key, r) stripe
+    has a unique owner by construction (the modular system has exactly one
+    solution per cell), which is what makes the stitched max exact.
+    """
+    states = states_padded
+    M = states // 128
+    pairs = {}
+    for d in range(width):
+        sigma = (d + lo) % states
+        beta = (-sigma) % M
+        for r in range(M):
+            kk = (r + sigma) // M
+            alpha = (-kk) % 128
+            pairs.setdefault((alpha, beta), {})[r] = d
+    return sorted(pairs), pairs
+
+
+@functools.lru_cache(maxsize=16)
+def _mod_plan_indices(states_padded, lo, width):
+    """Numpy gather indices for building stitched band matrices."""
+    import numpy as np
+
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+    keys, pairs = mod_plan(states_padded, lo, width)
+    idx_d = np.zeros((len(keys), rows), np.int32)
+    mask = np.zeros((len(keys), rows), bool)
+    for i, key in enumerate(keys):
+        for r, d in pairs[key].items():
+            idx_d[i, r * BATCH_TILE:(r + 1) * BATCH_TILE] = d
+            mask[i, r * BATCH_TILE:(r + 1) * BATCH_TILE] = True
+    col = (
+        np.arange(128)[None, :] * M
+        + (np.arange(rows) // BATCH_TILE)[:, None]).astype(np.int32)
+    return keys, idx_d, mask, col
+
+
+def build_band_matrix_stitched(band_matrix, states_padded, lo, width):
+    """(width_padded, S) band matrix -> (P, M*8, 128) stitched matrices
+    for the mod-M kernel (traced, jit-safe; see mod_plan)."""
+    _, idx_d, mask, col = _mod_plan_indices(states_padded, lo, width)
+    gathered = band_matrix[
+        jnp.asarray(idx_d)[:, :, None], jnp.asarray(col)[None, :, :]]
+    return jnp.where(jnp.asarray(mask)[:, :, None], gathered, NEG_INF)
+
+
+def _band_kernel_stitched(
+        obs_ref,       # (1, R, ft, 128) mod-M-layout obs block at (n, t)
+        band_ref,      # (P, R, 128) stitched band matrices, resident
+        init_ref,      # (R, 128) mod-M initial distribution, resident
+        frames_ref,    # (8, 1) int32 block at (n, 0)
+        postseq_ref,   # out: (R, ft, 128) mod-M posterior columns at (n, t)
+        post_ref,      # out: (R, 128) mod-M posterior at (n, 0); the carry
+        *,
+        states_padded,
+        lo,
+        width,
+        floor,
+        frame_tile=FRAME_TILE):
+    """Stitched mod-M banded forward step (layout/permute math: mod_plan).
+
+    Per frame: ~width/M + 1 lane-rotates (the permute-port bill -- the
+    rolled kernel pays width full-width rolls), a free sublane rename and
+    ONE masked add + max per stitched pair (~width + M), all against
+    pre-built band matrices. The conversion fold and lane padding happen
+    in XLA before the mod-M transform (fused into the relayout copy), so
+    this kernel sees clean log-space mod-M observations.
+    """
+    tb = pl.program_id(1)
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+
+    keys, _ = mod_plan(states_padded, lo, width)
+    alphas = sorted({alpha for alpha, _ in keys})
+
+    block_max = frames_ref[0, 0]
+    for b in range(1, BATCH_TILE):
+        block_max = jnp.maximum(block_max, frames_ref[b, 0])
+    frames_col = frames_ref[...]  # (8, 1)
+
+    for k in range(frame_tile):
+        t = tb * frame_tile + k
+
+        @pl.when(t == 0)
+        def _init(k=k):
+            post0 = obs_ref[0, :, k, :] + init_ref[...]
+            post_ref[...] = post0
+            postseq_ref[:, k, :] = post0
+
+        @pl.when(jnp.logical_and(t > 0, t < block_max))
+        def _step(k=k, t=t):
+            post = post_ref[...]  # (R, 128), mod-M layout
+
+            m = None
+            if width:
+                rotated = {
+                    alpha: (post if alpha == 0
+                            else pltpu.roll(post, alpha, 1))
+                    for alpha in alphas}
+                n_acc = min(4, len(keys))
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for i, (alpha, beta) in enumerate(keys):
+                    v = rotated[alpha]
+                    if beta:
+                        v = pltpu.roll(v, (BATCH_TILE * beta) % rows, 0)
+                    accs[i % n_acc] = jnp.maximum(
+                        accs[i % n_acc], v + band_ref[i])
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+
+            if floor is not None:
+                # Global per-batch-row max: reduce the M row-groups
+                # (aligned vreg maxes), then lanes, broadcast back
+                per_a = post[:BATCH_TILE, :]
+                for i in range(1, M):
+                    per_a = jnp.maximum(
+                        per_a,
+                        post[i * BATCH_TILE:(i + 1) * BATCH_TILE, :])
+                gmax = jnp.max(per_a, axis=1, keepdims=True)  # (8, 1)
+                fm = jnp.concatenate([gmax] * M, axis=0) + floor
+                m = fm if m is None else jnp.maximum(m, fm)
+
+            valid = t < frames_col  # (8, 1)
+            valid_m = jnp.concatenate([valid] * M, axis=0)  # (R, 1)
+            kept = jnp.where(valid_m, obs_ref[0, :, k, :] + m, post)
+            post_ref[...] = kept
+            postseq_ref[:, k, :] = kept
+
+        @pl.when(jnp.logical_and(t > 0, t >= block_max))
+        def _padded(k=k):
+            postseq_ref[:, k, :] = post_ref[...]
+
+
 @functools.lru_cache(maxsize=64)
 def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         floor, interpret=False,
@@ -472,6 +622,11 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
     while frames % frame_tile:
         frame_tile //= 2
     assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
+    if layout == 'stitched' and width > 0:
+        return _build_band_forward_stitched(
+            batch, frames, states_in, states_padded, lo, width, floor,
+            interpret, log_input, apply_epsilon, frame_tile,
+            external_band_matrix)
     # Tilted layout only pays when there are rolls to share (width > 0);
     # the width-0 constant-transition path stays on the rolled kernel
     tilted = layout == 'tilted' and width > 0
@@ -574,6 +729,137 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                 observation, band_matrix, initial,
                 batch_frames.astype(jnp.int32))
 
+    return jax.jit(forward)
+
+
+def _build_band_forward_stitched(batch, frames, states_in, states_padded,
+                                 lo, width, floor, interpret, log_input,
+                                 apply_epsilon, frame_tile,
+                                 external_band_matrix):
+    """Stage the stitched mod-M pipeline: XLA conversion + lane pad + mod-M
+    relayout, the stitched kernel, and the inverse relayouts back to the
+    natural (batch, frames, states) layout the backtrace kernel consumes.
+    The relayout copies are large (2x the observation bytes round trip)
+    but the kernel saves far more permute-port time than they cost."""
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+    keys, _ = mod_plan(states_padded, lo, width)
+    width_padded = max(_round_up(width, 8), 8)
+
+    kernel = functools.partial(
+        _band_kernel_stitched,
+        states_padded=states_padded,
+        lo=lo,
+        width=width,
+        floor=floor,
+        frame_tile=frame_tile)
+    grid = (batch // BATCH_TILE, frames // frame_tile)
+    in_specs = [
+        pl.BlockSpec(
+            (1, rows, frame_tile, 128),
+            lambda n, t: (n, 0, t, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (len(keys), rows, 128),
+            lambda n, t: (0, 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (rows, 128),
+            lambda n, t: (0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (BATCH_TILE, 1),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (rows, frame_tile, 128),
+            lambda n, t: (n, t, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (rows, 128),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch // BATCH_TILE * rows, frames, 128), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch // BATCH_TILE * rows, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=batch * frames * 2 * len(keys) * states_padded // M,
+            bytes_accessed=(
+                batch * frames * states_padded * 8
+                + len(keys) * rows * 128 * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret)
+
+    nb = batch // BATCH_TILE
+
+    def to_mod(obs):
+        # (B, T, S) natural -> (B/8, M*8, T, 128): state s = M*l + r at
+        # (row r*8 + b, lane l)
+        arr = obs.reshape(nb, BATCH_TILE, frames, 128, M)
+        arr = jnp.transpose(arr, (0, 4, 1, 2, 3))
+        return arr.reshape(nb, rows, frames, 128)
+
+    def from_mod_seq(post_m):
+        arr = post_m.reshape(nb, M, BATCH_TILE, frames, 128)
+        arr = jnp.transpose(arr, (0, 2, 3, 4, 1))
+        return arr.reshape(batch, frames, states_padded)
+
+    def from_mod_final(post_m):
+        arr = post_m.reshape(nb, M, BATCH_TILE, 128)
+        arr = jnp.transpose(arr, (0, 2, 3, 1))
+        return arr.reshape(batch, states_padded)
+
+    def init_mod(initial):
+        arr = initial.reshape(128, M)          # (l, r)
+        arr = jnp.transpose(arr, (1, 0))       # (r, l)
+        return jnp.repeat(arr, BATCH_TILE, axis=0)
+
+    def run(observation, band_stitched, initial, bf):
+        obs = observation
+        if not log_input:
+            obs = jnp.log(obs)
+        if apply_epsilon:
+            obs = jnp.log(
+                jnp.exp(obs) + jnp.float32(jnp.finfo(jnp.float32).tiny))
+        if states_in != states_padded:
+            obs = jnp.pad(
+                obs, ((0, 0), (0, 0), (0, states_padded - states_in)),
+                constant_values=NEG_INF)
+        post_seq_m, post_m = call(
+            to_mod(obs), band_stitched, init_mod(initial),
+            bf.reshape(batch, 1))
+        return from_mod_seq(post_seq_m), from_mod_final(post_m)
+
+    if external_band_matrix:
+        # The dispatcher pre-builds the stitched matrices per transition
+        def forward(observation, batch_frames, band_stitched, initial):
+            return run(
+                observation, band_stitched, initial,
+                batch_frames.astype(jnp.int32))
+    else:
+        def forward(observation, batch_frames, transition_padded, initial):
+            band_matrix = build_band_matrix(transition_padded, lo, width)
+            band_stitched = build_band_matrix_stitched(
+                band_matrix, states_padded, lo, width)
+            return run(
+                observation, band_stitched, initial,
+                batch_frames.astype(jnp.int32))
+
+    del width_padded
     return jax.jit(forward)
 
 

@@ -64,6 +64,10 @@ def _prepare_padded(transition, initial, states, states_p, band):
         if band_matrix is not None and layout == 'tilted' and band[1] > 0:
             band_matrix = band_ops.build_band_matrix_tilted(
                 band_matrix, states_p)
+        elif (band_matrix is not None and layout == 'stitched'
+                and band[1] > 0):
+            band_matrix = band_ops.build_band_matrix_stitched(
+                band_matrix, states_p, band[0], band[1])
         return trans_p, band_matrix
 
     trans_p, band_matrix = _identity_cached(

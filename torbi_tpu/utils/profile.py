@@ -269,26 +269,44 @@ V5E_HBM_GBPS = 819.0
 
 
 def speed_of_light(batch, frames, states_padded, band, measured_forward_ms,
-                   ops_per_candidate=3):
+                   ops_per_candidate=3, layout=None):
     """Port-level speed-of-light model for the banded forward kernel.
 
     Measured on v5e (scripts/kernel_lab.py): the permute port retires ~1
-    vreg/cycle while the ALUs retire ~4 vreg-ops/cycle, so the W full-width
-    lane-rolls per frame -- not the adds/maxes -- are the binding resource.
+    vreg/cycle for ANY lane-crossing permute (full-width roll or
+    intra-vreg rotate alike) while the ALUs retire ~4 vreg-ops/cycle and
+    sublane renames are free. Per layout:
+
+    - 'rolled': W full-width lane-rolls per frame bind the permute port.
+    - 'stitched' (mod-M layout): only ~W/M + 1 distinct lane-rotates per
+      frame; the ALUs bind at ~(W + M) masked add+max pairs.
+
     The binding ideal is max(permute, ALU, HBM); utilization is against it.
     """
+    import torbi_tpu
+
+    if layout is None:
+        layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
     width = band[1] if band else states_padded
     vregs = states_padded // 128
     candidate_lanes = batch * frames * width * states_padded
-    # Permute port: one roll per offset, `vregs` cycles each, 1/cycle.
-    # The DENSE kernel shifts nothing (ref-sliced source tiles), so its
-    # permute term is zero and the ALUs bind (measured: 88% of the
-    # 4-issue ALU ideal at 512x512x1280).
-    permute_cycles = (
-        batch / 8 * frames * width * vregs if band else 0.0)
+    if band and layout == 'stitched' and width > 0:
+        from ..ops.band import mod_plan
+        keys, _ = mod_plan(states_padded, band[0], width)
+        n_rotates = len({alpha for alpha, _ in keys})
+        permute_cycles = batch / 8 * frames * n_rotates * vregs
+        alu_cycles = (
+            batch / 8 * frames * len(keys) * 2 * vregs / V5E_VPU_ISSUE)
+    else:
+        # Permute port: one roll per offset, `vregs` cycles each, 1/cycle.
+        # The DENSE kernel shifts nothing (ref-sliced source tiles), so its
+        # permute term is zero and the ALUs bind (measured: 88% of the
+        # 4-issue ALU ideal at 512x512x1280).
+        permute_cycles = (
+            batch / 8 * frames * width * vregs if band else 0.0)
+        alu_cycles = (
+            batch / 8 * frames * width * 2 * vregs / V5E_VPU_ISSUE)
     permute_ms = permute_cycles / V5E_CLOCK_HZ * 1e3
-    # ALUs: add + max per candidate at 4 vreg-ops/cycle
-    alu_cycles = batch / 8 * frames * width * 2 * vregs / V5E_VPU_ISSUE
     alu_ms = alu_cycles / V5E_CLOCK_HZ * 1e3
     hbm_bytes = batch * frames * states_padded * 4 * 2  # obs in + post out
     hbm_ms = hbm_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
