@@ -603,6 +603,108 @@ def build_kernel_mod12(batch, frames, states, width, band_host, n_acc=4):
     return jax.jit(lambda obs, band: call(obs, stitched_dev)), len(keys)
 
 
+def build_kernel_mod12k(batch, frames, states, width, band_host, n_acc=4):
+    """mod12 with NATURAL-layout obs in and an untilted per-frame write out:
+    the mod-M transform runs IN-KERNEL via reshape/transpose (Mosaic
+    relayout / XLU transpose), probing whether the XLA boundary copies
+    (4 x ~4.8 ms at the headline shape) can be replaced by in-kernel
+    shuffles that hide under the ALU-bound inner loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = states // 128
+    rows = M * 8
+    plan = build_mod12_plan(states, width, band_host)
+    keys = sorted(plan)
+    stitched = np.stack([plan[key] for key in keys])
+    alphas = sorted({alpha for alpha, _ in keys})
+
+    def to_mod(col):
+        # (8, S) natural -> (M*8, 128)
+        arr = col.reshape(8, 128, M)
+        arr = jnp.transpose(arr, (2, 0, 1))  # (M, 8, 128)
+        return arr.reshape(rows, 128)
+
+    def from_mod(z):
+        # (M*8, 128) -> (8, S)
+        arr = z.reshape(M, 8, 128)
+        arr = jnp.transpose(arr, (1, 2, 0))  # (8, 128, M)
+        return arr.reshape(8, states)
+
+    def kernel(obs_ref, band_ref, post_ref, nat_ref):
+        tb = pl.program_id(1)
+
+        for k in range(FRAME_TILE):
+            t = tb * FRAME_TILE + k
+
+            @pl.when(t == 0)
+            def _init(k=k):
+                post_ref[...] = to_mod(obs_ref[:, k, :])
+                nat_ref[...] = obs_ref[:, k, :]
+
+            @pl.when(t > 0)
+            def _step(k=k):
+                post = post_ref[...]
+                rotated = {
+                    alpha: (post if alpha == 0
+                            else pltpu.roll(post, alpha, 1))
+                    for alpha in alphas}
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for i, (alpha, beta) in enumerate(keys):
+                    v = rotated[alpha]
+                    if beta:
+                        v = pltpu.roll(v, (8 * beta) % rows, 0)
+                    accs[i % n_acc] = jnp.maximum(
+                        accs[i % n_acc], v + band_ref[i])
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                new = to_mod(obs_ref[:, k, :]) + m
+                post_ref[...] = new
+                nat_ref[...] = from_mod(new)
+
+    grid = (batch // BATCH_TILE, frames // FRAME_TILE)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (BATCH_TILE, FRAME_TILE, states),
+                lambda n, t: (n, t, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (len(keys), rows, 128),
+                lambda n, t: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (rows, 128),
+                lambda n, t: (n, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BATCH_TILE, states),
+                lambda n, t: (n, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch // BATCH_TILE * rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch, states), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=INTERPRET,
+    )
+    import jax.numpy as jnp2
+    stitched_dev = jnp2.asarray(stitched)
+    return jax.jit(lambda obs, band: call(obs, stitched_dev))
+
+
 def mod12_obs(obs, states):
     """(batch, frames, states) -> (batch/8, M*8, frames, 128) in the
     mod-M layout: state s at (sublane (s mod M)*8 + b, lane s div M)"""
@@ -650,7 +752,15 @@ def check_mod12(args):
         bad = np.argwhere(ref != got)
         print('first mismatches:', bad[:5].tolist())
         print('ref', ref[tuple(bad[0])], 'got', got[tuple(bad[0])])
-    return match
+
+    # mod12k: natural in/out with in-kernel relayout; its second output
+    # is the natural-layout final posterior, directly comparable
+    fnk = build_kernel_mod12k(
+        args.batch, args.frames, args.states, args.width, band)
+    got_k = np.asarray(fnk(jnp.asarray(obs), None)[1])
+    match_k = np.array_equal(ref, got_k)
+    print(json.dumps({'mod12k_bitwise_match': bool(match_k)}))
+    return match and match_k
 
 
 def tilt_obs(obs, n_vregs):
@@ -785,6 +895,12 @@ def main():
                   flush=True)
             run_obs = jnp.asarray(mod12_obs(obs_host, args.states))
             run_band = band
+        elif variant == 'mod12k':
+            fn = build_kernel_mod12k(
+                args.batch, args.frames, args.states, args.width,
+                band_host, n_acc)
+            raw = fn
+            fn = lambda o, b, raw=raw: raw(o, b)[0]
         else:
             fn = build_kernel(
                 variant, args.batch, args.frames, args.states, args.width,

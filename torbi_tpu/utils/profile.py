@@ -205,10 +205,24 @@ def time_stages(observation, batch_frames, transition, initial, iters=8):
         band_ops.detect_band(transition), initial,
         observation=None, finite_observation=True)
 
+    # Pre-build the band matrix exactly as the production dispatcher does
+    # (the in-graph build costs tens of ms of gather per call and would
+    # pollute the standalone forward stage)
+    band_matrix = None
+    if band is not None:
+        band_matrix = band_ops.build_band_matrix(trans_p, band[0], band[1])
+        import torbi_tpu
+        layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
+        if layout == 'stitched' and band[1] > 0:
+            band_matrix = band_ops.build_band_matrix_stitched(
+                band_matrix, states_p, band[0], band[1])
+        band_matrix = jax.block_until_ready(band_matrix)
+
     def forward(obs=observation):
         if band is not None:
             return band_ops.viterbi_forward_band(
-                obs, bf, trans_p, init_p, band, interpret=interpret)
+                obs, bf, trans_p, init_p, band, interpret=interpret,
+                band_matrix=band_matrix)
         return viterbi_forward_pallas(
             obs, bf, trans_p, init_p, interpret=interpret)
 
