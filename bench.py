@@ -135,17 +135,25 @@ def bench_batch1(frames=10240):
          min(times) * 1e3, 'ms', None)
 
     # Steady-state device throughput on the lane-padded resident input
+    # (mod-M packed for the stitched band path, like the headline)
+    import torbi_tpu
+
     states_p = padded_states(STATES)
     padded = np.full((1, frames, states_p), -np.inf, dtype=np.float32)
     padded[..., :STATES] = host
     obs = jnp.asarray(padded)
+    if (states_p % 128 == 0
+            and getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', '') == 'stitched'):
+        obs_pitch = jnp.asarray(pack_mod(padded))
+    else:
+        obs_pitch = obs
     bf = jnp.full((1,), frames, jnp.int32)
     transition = jnp.asarray(np.log(trans_prob + tiny))
     initial = _default_initial(STATES)
 
     def run_pitch():
         return decode(
-            obs, bf, transition, initial, apply_epsilon=True)
+            obs_pitch, bf, transition, initial, apply_epsilon=True)
 
     sec = time_submissions(run_pitch, lambda r: r[0, 0], iters=8)
     emit('timesteps_per_second_batch1_10240_frames', frames / sec,
@@ -204,16 +212,27 @@ def _device_resident_throughput(input_files, trans_path, iters=4):
     return total_steps, total_sec
 
 
+def pack_mod(padded):
+    """(B, T, S_p) -> (M, B, T, 128) mod-M packed layout (the stitched
+    kernel's input convention; see ops/dispatch.decode)"""
+    batch, frames, states_p = padded.shape
+    m = states_p // 128
+    return np.ascontiguousarray(
+        padded.reshape(batch, frames, 128, m).transpose(3, 0, 1, 2))
+
+
 def _headline_inputs():
     import jax.numpy as jnp
 
+    import torbi_tpu
     from torbi_tpu.ops.dispatch import padded_states
 
     tiny = np.finfo(np.float32).tiny
     # States pre-padded to a lane multiple with -inf, exactly as the data
-    # pipeline loads observations: an unaligned minor dimension makes XLA
-    # relayout the full observation on every call (measured 4.8 ms at this
-    # shape -- the trace's 'copy.5')
+    # pipeline loads observations (an unaligned minor dimension costs a
+    # relayout copy per call), and packed to the stitched kernel's mod-M
+    # layout when that is the active kernel (skipping the per-call
+    # relayout transform entirely)
     host = synthetic_posteriorgrams(BATCH, FRAMES, STATES)
     states_p = padded_states(STATES)
     if states_p != STATES:
@@ -221,6 +240,9 @@ def _headline_inputs():
             (BATCH, FRAMES, states_p), -np.inf, dtype=np.float32)
         padded[..., :STATES] = host
         host = padded
+    if (states_p % 128 == 0
+            and getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', '') == 'stitched'):
+        host = pack_mod(host)
     obs = jnp.asarray(host)
     transition = jnp.asarray(np.log(transition_probabilities() + tiny))
     initial = jnp.asarray(

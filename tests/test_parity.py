@@ -366,3 +366,79 @@ def test_alt_layout_band_kernel_lane_padded_epsilon(monkeypatch, layout):
         jnp.asarray(padded), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', apply_epsilon=True))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_packed_observation_matches_natural():
+    """Packed (mod-M) observations ride the stitched fast path and decode
+    bitwise identically to the natural layout -- including through the
+    auto-sharded multi-device dispatch"""
+    import torbi_tpu
+    from torbi_tpu.ops import band as band_ops
+
+    assert torbi_tpu.BAND_KERNEL_LAYOUT == 'stitched'
+
+    rng = np.random.default_rng(41)
+    batch, frames, states, halfwidth = 64, 18, 120, 5
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+    bf[3] = 7
+
+    states_p = ((states + 127) // 128) * 128
+    M = states_p // 128
+    padded = np.full((batch, frames, states_p), -np.inf, np.float32)
+    padded[..., :states] = obs
+    # Pack: state s = M*l + r -> (r, b, t, l)
+    packed = np.ascontiguousarray(
+        padded.reshape(batch, frames, 128, M).transpose(3, 0, 1, 2))
+
+    natural = np.asarray(dispatch_decode(
+        jnp.asarray(padded), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', apply_epsilon=True))
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', apply_epsilon=True))
+    np.testing.assert_array_equal(got, natural)
+
+    # And against the oracle
+    obs_eps = np.log(np.exp(obs) + tiny)
+    expected = oracle.viterbi_numpy(obs_eps, bf, trans, init)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_packed_observation_unpacks_for_dense_transition():
+    """A packed observation with a dense (unbanded) transition falls back
+    to the unpack transform and the dense kernel, still exact"""
+    rng = np.random.default_rng(43)
+    batch, frames, states = 8, 11, 96
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    trans = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+
+    states_p = ((states + 127) // 128) * 128
+    M = states_p // 128
+    padded = np.full((batch, frames, states_p), -np.inf, np.float32)
+    padded[..., :states] = obs
+    packed = np.ascontiguousarray(
+        padded.reshape(batch, frames, 128, M).transpose(3, 0, 1, 2))
+
+    obs_eps = np.log(np.exp(obs) + tiny)
+    expected = oracle.viterbi_numpy(obs_eps, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', apply_epsilon=True))
+    np.testing.assert_array_equal(got, expected)

@@ -288,6 +288,186 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
     return jax.jit(backtrace)
 
 
+def _backtrace12_kernel_loop(
+        postseq_ref,   # (M, BT, FT, 128) mod-M posterior block at (0,n,rev)
+        bnd_ref,       # (M, BT, 8, 128) block holding frame t0 - 1
+        trans_ref,     # (S, S) float32: natural rows, mod-M-PERMUTED columns
+        seed_ref,      # (BT, 1) int32 block at (n, 0) -- natural indices
+        frames_ref,    # (BT, 1) int32 block at (n, 0)
+        out_ref,       # out: (BT, FT) int32 block at (n, rev)
+        idx_ref,       # scratch: (BT, 1) int32 chase index (natural)
+        rows_ref,      # scratch: (BT, S) float32 gathered transition rows
+        col_ref,       # scratch: (FT, BT) int32 transposed decoded columns
+        *,
+        states_padded,
+        batch_tile,
+        frame_tile,
+        n_frame_tiles):
+    """Backtrace consuming the stitched forward's M-major posterior stream
+    DIRECTLY (no relayout copy between the kernels -- a measured ~10 ms
+    per headline call).
+
+    The assembled posterior column concatenates the M r-blocks along
+    lanes, i.e. lane position s' holds natural state M*(s' mod 128) +
+    s' div 128. The transition input has its COLUMNS pre-permuted to the
+    same order (dispatch prepares it once per transition), the chase
+    index stays a natural state index (row loads are by natural row), and
+    the lowest-NATURAL-index tie rule is preserved by minimizing over a
+    natural-index map instead of the raw lane iota.
+    """
+    M = states_padded // 128
+    nf = pl.program_id(1)
+    t0 = (n_frame_tiles - 1 - nf) * frame_tile
+
+    lane = lax.broadcasted_iota(
+        jnp.int32, (batch_tile, states_padded), 1)
+    nat_idx = (lane % 128) * M + lane // 128
+    bf = frames_ref[...]  # (BT, 1)
+
+    @pl.when(nf == 0)
+    def _seed():
+        idx_ref[...] = seed_ref[...]
+
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.transpose(idx_ref[...])
+
+    def assemble(k):
+        """(BT, S) posterior column at local frame k, permuted order"""
+        return jnp.concatenate(
+            [postseq_ref[r, :, k, :] for r in range(M)], axis=1)
+
+    def step(prev_post, t, k):
+        for b in range(batch_tile):
+            ib = idx_ref[b, 0]
+            rows_ref[b:b + 1, :] = trans_ref[pl.ds(ib, 1), :]
+        v = prev_post + rows_ref[...]
+        mx = jnp.max(v, axis=1, keepdims=True)
+        pred = jnp.min(
+            jnp.where(v == mx, nat_idx, _INT_MAX), axis=1, keepdims=True)
+        new_idx = jnp.where(t <= bf - 1, pred.astype(jnp.int32), idx_ref[...])
+        idx_ref[...] = new_idx
+        return new_idx
+
+    def body(i, carry):
+        k = frame_tile - 1 - i
+        new_idx = step(assemble(k - 1), t0 + k, k)
+        col_ref[pl.ds(k - 1, 1), :] = jnp.transpose(new_idx)
+        return carry
+
+    lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
+
+    if n_frame_tiles > 1:
+        @pl.when(t0 > 0)
+        def _boundary():
+            prev = jnp.concatenate(
+                [bnd_ref[r, :, 7, :] for r in range(M)], axis=1)
+            step(prev, t0, 0)
+
+    out_ref[...] = jnp.transpose(col_ref[...])
+
+
+@functools.lru_cache(maxsize=64)
+def _build_backtrace12(batch, frames, states_padded, interpret=False):
+    batch_tile, frame_tile = _pick_tiles(batch, frames, states_padded)
+    n_frame_tiles = frames // frame_tile
+    M = states_padded // 128
+    kernel = functools.partial(
+        _backtrace12_kernel_loop,
+        states_padded=states_padded,
+        batch_tile=batch_tile,
+        frame_tile=frame_tile,
+        n_frame_tiles=n_frame_tiles)
+    grid = (batch // batch_tile, n_frame_tiles)
+
+    def rev(t):
+        return n_frame_tiles - 1 - t
+
+    bnd_blocks = frame_tile // 8
+    in_specs = [
+        pl.BlockSpec(
+            (M, batch_tile, frame_tile, 128),
+            lambda n, t: (0, n, rev(t), 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (M, batch_tile, 8, 128),
+            lambda n, t: (
+                0, n, jnp.maximum(rev(t) * bnd_blocks - 1, 0), 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (states_padded, states_padded),
+            lambda n, t: (0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (batch_tile, 1),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (batch_tile, 1),
+            lambda n, t: (n, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec(
+        (batch_tile, frame_tile),
+        lambda n, t: (n, rev(t)),
+        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((batch, frames), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=batch * frames * 8 * states_padded,
+            bytes_accessed=batch * frames * states_padded * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, 1), jnp.int32),
+            pltpu.VMEM((batch_tile, states_padded), jnp.float32),
+            pltpu.VMEM((frame_tile, batch_tile), jnp.int32),
+        ],
+        interpret=interpret)
+
+    def backtrace(post_seq12, trans_perm, posterior12, batch_frames):
+        # Lowest-NATURAL-index argmax of the final posterior seeds the
+        # chase (posterior12[r, b, l] holds natural state M*l + r)
+        nat = (
+            jnp.arange(128, dtype=jnp.int32)[None, None, :] * M
+            + jnp.arange(M, dtype=jnp.int32)[:, None, None])
+        mx = jnp.max(posterior12, axis=(0, 2), keepdims=True)
+        seed = jnp.min(
+            jnp.where(posterior12 == mx, nat, _INT_MAX),
+            axis=(0, 2)).astype(jnp.int32)
+        return call(
+            post_seq12,
+            post_seq12,
+            trans_perm,
+            seed.reshape(batch, 1),
+            batch_frames.astype(jnp.int32).reshape(batch, 1))
+
+    return jax.jit(backtrace)
+
+
+def backtrace_posteriors12(post_seq12, trans_perm, posterior12,
+                           batch_frames, interpret=False):
+    """Backtrace the stitched kernel's M-major posterior stream.
+
+    post_seq12: (M, batch, frames, 128) float32 (mod-M layout)
+    trans_perm: (S_p, S_p) float32 -- natural rows, columns permuted to
+        the assembled-lane order s' = r*128 + l (natural M*l + r)
+    posterior12: (M, batch, 128) float32 final posterior
+    batch_frames: (batch,) int32
+
+    Returns (batch, frames) int32 decoded NATURAL state indices, bitwise
+    identical to backtrace_posteriors on the natural-layout stream.
+    """
+    _, batch, frames, _ = post_seq12.shape
+    states_padded = post_seq12.shape[0] * 128
+    bt = _build_backtrace12(batch, frames, states_padded, interpret)
+    return bt(post_seq12, trans_perm, posterior12, batch_frames)
+
+
 def backtrace_posteriors(post_seq, transition_padded, posterior,
                          batch_frames, interpret=False):
     """Backtrace stored posterior columns into decoded state indices.

@@ -510,26 +510,34 @@ def build_band_matrix_stitched(band_matrix, states_padded, lo, width):
 
 
 def _band_kernel_stitched(
-        obs_ref,       # (1, R, ft, 128) mod-M-layout obs block at (n, t)
+        obs_ref,       # (M, 8, ft, 128) mod-M-layout obs block at (0,n,t,0)
         band_ref,      # (P, R, 128) stitched band matrices, resident
         init_ref,      # (R, 128) mod-M initial distribution, resident
         frames_ref,    # (8, 1) int32 block at (n, 0)
-        postseq_ref,   # out: (R, ft, 128) mod-M posterior columns at (n, t)
-        post_ref,      # out: (R, 128) mod-M posterior at (n, 0); the carry
+        postseq_ref,   # out: (M, 8, ft, 128) posterior columns at (0,n,t,0)
+        post_ref,      # out: (M, 8, 128) posterior at (0, n, 0); the carry
         *,
         states_padded,
         lo,
         width,
         floor,
+        log_input=True,
+        apply_epsilon=False,
         frame_tile=FRAME_TILE):
     """Stitched mod-M banded forward step (layout/permute math: mod_plan).
 
     Per frame: ~width/M + 1 lane-rotates (the permute-port bill -- the
     rolled kernel pays width full-width rolls), a free sublane rename and
     ONE masked add + max per stitched pair (~width + M), all against
-    pre-built band matrices. The conversion fold and lane padding happen
-    in XLA before the mod-M transform (fused into the relayout copy), so
-    this kernel sees clean log-space mod-M observations.
+    pre-built band matrices. The probability->log conversion and epsilon
+    stabilization fold into the obs reads exactly like the rolled kernel
+    (elementwise, layout-independent).
+
+    All inputs/outputs carry the M-major layout (M, batch, ..., 128):
+    state s = M*l + r lives at (r-block, batch row, lane l). In-kernel
+    this is a pure sublane-merge view of the (R = M*8, 128) working
+    shape; outside it means the posterior stream feeds the mod-M-aware
+    backtrace kernel DIRECTLY -- no relayout copy between the kernels.
     """
     tb = pl.program_id(1)
     M = states_padded // 128
@@ -537,6 +545,15 @@ def _band_kernel_stitched(
 
     keys, _ = mod_plan(states_padded, lo, width)
     alphas = sorted({alpha for alpha, _ in keys})
+
+    def obs_col(k):
+        col = obs_ref[:, :, k, :].reshape(rows, 128)
+        if not log_input:
+            col = jnp.log(col)
+        if apply_epsilon:
+            col = jnp.log(
+                jnp.exp(col) + jnp.float32(jnp.finfo(jnp.float32).tiny))
+        return col
 
     block_max = frames_ref[0, 0]
     for b in range(1, BATCH_TILE):
@@ -548,13 +565,13 @@ def _band_kernel_stitched(
 
         @pl.when(t == 0)
         def _init(k=k):
-            post0 = obs_ref[0, :, k, :] + init_ref[...]
-            post_ref[...] = post0
-            postseq_ref[:, k, :] = post0
+            post0 = obs_col(0) + init_ref[...]
+            post_ref[...] = post0.reshape(M, BATCH_TILE, 128)
+            postseq_ref[:, :, k, :] = post0.reshape(M, BATCH_TILE, 128)
 
         @pl.when(jnp.logical_and(t > 0, t < block_max))
         def _step(k=k, t=t):
-            post = post_ref[...]  # (R, 128), mod-M layout
+            post = post_ref[...].reshape(rows, 128)  # mod-M working shape
 
             m = None
             if width:
@@ -590,13 +607,14 @@ def _band_kernel_stitched(
 
             valid = t < frames_col  # (8, 1)
             valid_m = jnp.concatenate([valid] * M, axis=0)  # (R, 1)
-            kept = jnp.where(valid_m, obs_ref[0, :, k, :] + m, post)
-            post_ref[...] = kept
-            postseq_ref[:, k, :] = kept
+            kept = jnp.where(valid_m, obs_col(k) + m, post)
+            kept_m = kept.reshape(M, BATCH_TILE, 128)
+            post_ref[...] = kept_m
+            postseq_ref[:, :, k, :] = kept_m
 
         @pl.when(jnp.logical_and(t > 0, t >= block_max))
         def _padded(k=k):
-            postseq_ref[:, k, :] = post_ref[...]
+            postseq_ref[:, :, k, :] = post_ref[...]
 
 
 @functools.lru_cache(maxsize=64)
@@ -605,7 +623,9 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         log_input=True, apply_epsilon=False,
                         frame_tile=FRAME_TILE,
                         external_band_matrix=False,
-                        layout='rolled'):
+                        layout='rolled',
+                        raw12=False,
+                        packed=False):
     width_padded = max(_round_up(width, 8), 8)
     # Callers may pass any band tuple; the kernel body needs at least one
     # candidate source per step (width == 0 is only meaningful with the
@@ -626,7 +646,9 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         return _build_band_forward_stitched(
             batch, frames, states_in, states_padded, lo, width, floor,
             interpret, log_input, apply_epsilon, frame_tile,
-            external_band_matrix)
+            external_band_matrix, raw12=raw12, packed=packed)
+    assert not packed, (
+        'packed (mod-M) observations require the stitched band layout')
     # Tilted layout only pays when there are rolls to share (width > 0);
     # the width-0 constant-transition path stays on the rolled kernel
     tilted = layout == 'tilted' and width > 0
@@ -735,16 +757,22 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
 def _build_band_forward_stitched(batch, frames, states_in, states_padded,
                                  lo, width, floor, interpret, log_input,
                                  apply_epsilon, frame_tile,
-                                 external_band_matrix):
-    """Stage the stitched mod-M pipeline: XLA conversion + lane pad + mod-M
-    relayout, the stitched kernel, and the inverse relayouts back to the
-    natural (batch, frames, states) layout the backtrace kernel consumes.
-    The relayout copies are large (2x the observation bytes round trip)
-    but the kernel saves far more permute-port time than they cost."""
+                                 external_band_matrix, raw12=False,
+                                 packed=False):
+    """Stage the stitched mod-M pipeline.
+
+    Inputs transform once in XLA to the M-major layout (M, batch, frames,
+    128) (state s = M*l + r at (r, batch_row, lane l)); the conversion
+    fold happens in-kernel. With ``raw12=True`` the posterior stream and
+    final posterior are returned IN that layout -- the mod-M-aware
+    backtrace kernel (ops/backtrace.py::backtrace_posteriors12) consumes
+    them directly, eliminating the inverse relayout copy (a measured
+    ~10 ms per headline call). ``raw12=False`` returns the natural layout
+    for compatibility (tests, profiling, explicit kernel callers).
+    """
     M = states_padded // 128
     rows = M * BATCH_TILE
     keys, _ = mod_plan(states_padded, lo, width)
-    width_padded = max(_round_up(width, 8), 8)
 
     kernel = functools.partial(
         _band_kernel_stitched,
@@ -752,12 +780,14 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
         lo=lo,
         width=width,
         floor=floor,
+        log_input=log_input,
+        apply_epsilon=apply_epsilon,
         frame_tile=frame_tile)
     grid = (batch // BATCH_TILE, frames // frame_tile)
     in_specs = [
         pl.BlockSpec(
-            (1, rows, frame_tile, 128),
-            lambda n, t: (n, 0, t, 0),
+            (M, BATCH_TILE, frame_tile, 128),
+            lambda n, t: (0, n, t, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (len(keys), rows, 128),
@@ -774,12 +804,12 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
     ]
     out_specs = [
         pl.BlockSpec(
-            (rows, frame_tile, 128),
-            lambda n, t: (n, t, 0),
+            (M, BATCH_TILE, frame_tile, 128),
+            lambda n, t: (0, n, t, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (rows, 128),
-            lambda n, t: (n, 0),
+            (M, BATCH_TILE, 128),
+            lambda n, t: (0, n, 0),
             memory_space=pltpu.VMEM),
     ]
     call = pl.pallas_call(
@@ -789,9 +819,8 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (batch // BATCH_TILE * rows, frames, 128), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (batch // BATCH_TILE * rows, 128), jnp.float32),
+                (M, batch, frames, 128), jnp.float32),
+            jax.ShapeDtypeStruct((M, batch, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=batch * frames * 2 * len(keys) * states_padded // M,
@@ -804,23 +833,18 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret)
 
-    nb = batch // BATCH_TILE
-
     def to_mod(obs):
-        # (B, T, S) natural -> (B/8, M*8, T, 128): state s = M*l + r at
-        # (row r*8 + b, lane l)
-        arr = obs.reshape(nb, BATCH_TILE, frames, 128, M)
-        arr = jnp.transpose(arr, (0, 4, 1, 2, 3))
-        return arr.reshape(nb, rows, frames, 128)
+        # (B, T, S) natural -> (M, B, T, 128)
+        arr = obs.reshape(batch, frames, 128, M)
+        return jnp.transpose(arr, (3, 0, 1, 2))
 
     def from_mod_seq(post_m):
-        arr = post_m.reshape(nb, M, BATCH_TILE, frames, 128)
-        arr = jnp.transpose(arr, (0, 2, 3, 4, 1))
+        # (M, B, T, 128) -> (B, T, S) natural
+        arr = jnp.transpose(post_m, (1, 2, 3, 0))
         return arr.reshape(batch, frames, states_padded)
 
     def from_mod_final(post_m):
-        arr = post_m.reshape(nb, M, BATCH_TILE, 128)
-        arr = jnp.transpose(arr, (0, 2, 3, 1))
+        arr = jnp.transpose(post_m, (1, 2, 0))
         return arr.reshape(batch, states_padded)
 
     def init_mod(initial):
@@ -830,18 +854,28 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
 
     def run(observation, band_stitched, initial, bf):
         obs = observation
-        if not log_input:
-            obs = jnp.log(obs)
-        if apply_epsilon:
-            obs = jnp.log(
-                jnp.exp(obs) + jnp.float32(jnp.finfo(jnp.float32).tiny))
-        if states_in != states_padded:
-            obs = jnp.pad(
-                obs, ((0, 0), (0, 0), (0, states_padded - states_in)),
-                constant_values=NEG_INF)
+        if packed:
+            # Observation arrives pre-packed in the (M, batch, frames,
+            # 128) mod-M layout (the pipeline analog of lane-padding):
+            # no relayout copy at all on this side
+            obs_m = obs
+        else:
+            if states_in != states_padded:
+                # The conversion fold happens in-kernel AFTER this pad, so
+                # probability-space inputs pad with 0.0 (log maps it to
+                # -inf; the epsilon then makes it log(tiny), which stays
+                # dominated everywhere because the padded transition
+                # rows/columns are -inf -- the same invariant the
+                # pre-padded pipeline relies on)
+                obs = jnp.pad(
+                    obs, ((0, 0), (0, 0), (0, states_padded - states_in)),
+                    constant_values=NEG_INF if log_input else 0.0)
+            obs_m = to_mod(obs)
         post_seq_m, post_m = call(
-            to_mod(obs), band_stitched, init_mod(initial),
+            obs_m, band_stitched, init_mod(initial),
             bf.reshape(batch, 1))
+        if raw12:
+            return post_seq_m, post_m
         return from_mod_seq(post_seq_m), from_mod_final(post_m)
 
     if external_band_matrix:
@@ -859,14 +893,13 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
                 observation, band_stitched, initial,
                 batch_frames.astype(jnp.int32))
 
-    del width_padded
     return jax.jit(forward)
 
 
 def viterbi_forward_band(observation, batch_frames, transition_padded,
                          initial, band, interpret=False,
                          log_input=True, apply_epsilon=False,
-                         band_matrix=None):
+                         band_matrix=None, raw12=False, packed=False):
     """Banded Pallas forward pass.
 
     observation may carry an UNPADDED state dimension (the kernel lane-pads
@@ -889,14 +922,20 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
     import torbi_tpu
 
     lo, width, floor = band
-    batch, frames, states_in = observation.shape
+    if packed:
+        # (M, batch, frames, 128) mod-M layout (stitched path only)
+        _, batch, frames, _ = observation.shape
+        states_in = observation.shape[0] * 128
+    else:
+        batch, frames, states_in = observation.shape
     states_padded = transition_padded.shape[0]
     fwd = _build_band_forward(
         batch, frames, states_in, states_padded, lo, width, floor,
         interpret, log_input, apply_epsilon,
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', FRAME_TILE)),
         external_band_matrix=band_matrix is not None,
-        layout=str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')))
+        layout=str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
+        raw12=raw12, packed=packed)
     if band_matrix is not None:
         return fwd(observation, batch_frames, band_matrix, initial)
     return fwd(observation, batch_frames, transition_padded, initial)

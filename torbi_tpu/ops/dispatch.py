@@ -68,6 +68,14 @@ def _prepare_padded(transition, initial, states, states_p, band):
                 and band[1] > 0):
             band_matrix = band_ops.build_band_matrix_stitched(
                 band_matrix, states_p, band[0], band[1])
+            # The mod-M backtrace consumes the forward's M-major posterior
+            # stream directly; the transition it adds per chase step needs
+            # its COLUMNS in the assembled-lane order s' = r*128 + l
+            # (natural M*l + r). Permute once per transition here.
+            M = states_p // 128
+            sprime = np.arange(states_p)
+            nat = (sprime % 128) * M + sprime // 128
+            trans_p = trans_p[:, jnp.asarray(nat.astype(np.int32))]
         return trans_p, band_matrix
 
     trans_p, band_matrix = _identity_cached(
@@ -190,9 +198,22 @@ def _config_key():
     )
 
 
+@functools.lru_cache(maxsize=2)
+def _unpack_packed_fn():
+    """(M, B, T, 128) mod-M observation -> (B, T, S_p) natural (cached
+    jit; the fallback for packed inputs that cannot take the stitched
+    fast path)"""
+    def unpack(obs):
+        arr = jnp.transpose(obs, (1, 2, 3, 0))
+        return arr.reshape(
+            obs.shape[1], obs.shape[2], obs.shape[0] * 128)
+    return jax.jit(unpack)
+
+
 @functools.lru_cache(maxsize=128)
 def _build_decode(backend, batch_p, frames_p, states, states_in, band,
-                  interpret, log_input, apply_epsilon, mesh_key, config_key):
+                  interpret, log_input, apply_epsilon, mesh_key, config_key,
+                  packed=False):
     """Stage the decode pipeline for one (bucketed batch, bucketed frames)
     shape as a single jitted function.
 
@@ -247,9 +268,26 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                 beta=torbi_tpu.LSE_BETA)
         n_args = 4
     elif band is not None:
+        # Stitched layout with a real band: the forward's M-major posterior
+        # stream feeds the mod-M-aware backtrace directly (trans_p arrives
+        # column-permuted from _prepare_padded) -- no relayout copy
+        layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
+        use12 = layout == 'stitched' and band[1] > 0
+
         def pipeline(observation, batch_frames, trans_p, init_p,
                      band_matrix):
             obs = observation if fold_obs else convert(observation)
+            if use12:
+                from .backtrace import backtrace_posteriors12
+                post12, posterior12 = band_ops.viterbi_forward_band(
+                    obs, batch_frames, trans_p, init_p, band,
+                    interpret=interpret,
+                    log_input=(log_input or not fold_obs),
+                    apply_epsilon=(apply_epsilon and fold_obs),
+                    band_matrix=band_matrix, raw12=True, packed=packed)
+                return backtrace_posteriors12(
+                    post12, trans_p, posterior12, batch_frames,
+                    interpret=interpret)
             post_seq, posterior = band_ops.viterbi_forward_band(
                 obs, batch_frames, trans_p, init_p, band,
                 interpret=interpret,
@@ -277,7 +315,8 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = _mesh_registry[mesh_key]
-    specs = (P('batch'), P('batch')) + (P(),) * (n_args - 2)
+    obs_spec = P(None, 'batch') if packed else P('batch')
+    specs = (obs_spec, P('batch')) + (P(),) * (n_args - 2)
     sharded = shard_map(
         pipeline,
         mesh=mesh,
@@ -333,7 +372,12 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     """Decode log-space inputs. All arguments are jax arrays.
 
     observation: (batch, frames, states) float32 log-probs (probabilities
-        when ``log_input=False``; the conversion then runs on device)
+        when ``log_input=False``; the conversion then runs on device).
+        May also arrive PACKED as (M, batch, frames, 128) in the stitched
+        kernel's mod-M layout (state s = M*l + r at (r, batch_row, lane
+        l), M = padded_states/128) -- the pipeline analog of
+        lane-padding; requires ``finite_observation``/``apply_epsilon``
+        and skips the per-call relayout copy on the stitched band path
     batch_frames: (batch,) int32
     transition: (states, states) float32 log-probs (row = destination)
     initial: (states,) float32 log-probs
@@ -347,19 +391,40 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     Returns (batch, frames) int32 decoded state indices.
     """
     backend = resolve_backend(backend)
-    batch, frames, states_in = observation.shape
+    # Packed (mod-M) observations: a 4D (M, batch, frames, 128) array in
+    # the stitched kernel's layout (state s = M*l + r at (r-block, batch
+    # row, lane l)) -- the pipeline analog of lane-padding, skipping the
+    # relayout copy the natural layout pays per call. Falls back to an
+    # unpack transform whenever the stitched band path does not apply.
+    packed = observation.ndim == 4
+    if packed:
+        batch, frames = observation.shape[1], observation.shape[2]
+        states_in = observation.shape[0] * observation.shape[3]
+    else:
+        batch, frames, states_in = observation.shape
     states = int(transition.shape[0])
     # The data pipeline may pre-pad the observation's state dimension to a
     # lane multiple with -inf (tile-aligned host-to-device transfers, see
     # padded_states); the kernels consume the padded lanes directly, other
     # backends slice them off
-    if states_in not in (states, _round_up(states, 128)):
+    if packed:
+        if states_in != _round_up(states, 128):
+            raise ValueError(
+                f'packed observation implies {states_in} padded states '
+                f'but the transition has {states}')
+    elif states_in not in (states, _round_up(states, 128)):
         raise ValueError(
             f'observation has {states_in} states but the transition has '
             f'{states} (pre-padded observations must pad to the next '
             f'128 multiple with -inf)')
     if apply_epsilon:
         finite_observation = True
+    if packed and not finite_observation:
+        # The packed fast path requires an asserted-finite observation
+        # (the finiteness scan cannot exclude the interleaved pad lanes);
+        # unpack for the general gating/scan path
+        observation = _unpack_packed_fn()(observation)
+        packed = False
 
     # Exact time-sharded route for single long sequences: forced by
     # backend='timesharded', or taken automatically when the cost model
@@ -378,6 +443,8 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             raise ValueError(
                 "backend='timesharded' decodes one sequence (batch 1), "
                 f'got batch {batch}')
+        if packed:
+            observation = _unpack_packed_fn()(observation)
         return _decode_timesharded(
             observation, batch_frames, transition, initial,
             log_input, apply_epsilon)
@@ -401,6 +468,17 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             if not bool(finite.all()):
                 band = None
 
+    # Packed inputs can only ride the stitched band fast path; any other
+    # route (dense kernel, width-0 floor, non-stitched layout, xla/lse
+    # backends) consumes the natural layout
+    if packed and not (
+            band is not None and band[1] > 0
+            and backend in ('pallas', 'band')
+            and str(getattr(
+                torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) == 'stitched'):
+        observation = _unpack_packed_fn()(observation)
+        packed = False
+
     mesh_key = resolve_mesh(mesh, batch)
     n_shards = len(mesh_key) if mesh_key is not None else 1
 
@@ -417,12 +495,14 @@ def decode(observation, batch_frames, transition, initial, backend=None,
         batch * frames_est * (states_in + states_est) * 4 // n_shards)
     if footprint > int(torbi_tpu.DECODE_MEMORY_BUDGET) and batch > 8:
         half = (batch + 1) // 2
+        first_obs = observation[:, :half] if packed else observation[:half]
+        second_obs = observation[:, half:] if packed else observation[half:]
         first = decode(
-            observation[:half], batch_frames[:half], transition, initial,
+            first_obs, batch_frames[:half], transition, initial,
             backend=backend, finite_observation=finite_observation,
             log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
         second = decode(
-            observation[half:], batch_frames[half:], transition, initial,
+            second_obs, batch_frames[half:], transition, initial,
             backend=backend, finite_observation=finite_observation,
             log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
         return jnp.concatenate([first, second], axis=0)
@@ -433,12 +513,21 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     if batch_p == batch and frames_p == frames:
         obs, bf = observation, batch_frames
     else:
-        # Probability-space inputs pad with 0.0 so the staged jnp.log maps
-        # padded entries to -inf (NEG_INF would log to NaN)
-        obs = jnp.pad(
-            observation,
-            ((0, batch_p - batch), (0, frames_p - frames), (0, 0)),
-            constant_values=NEG_INF if log_input else 0.0)
+        # Probability-space inputs pad with 0.0 so the (staged or
+        # in-kernel) log maps padded entries to -inf (NEG_INF would log
+        # to NaN)
+        pad_value = NEG_INF if log_input else 0.0
+        if packed:
+            obs = jnp.pad(
+                observation,
+                ((0, 0), (0, batch_p - batch), (0, frames_p - frames),
+                 (0, 0)),
+                constant_values=pad_value)
+        else:
+            obs = jnp.pad(
+                observation,
+                ((0, batch_p - batch), (0, frames_p - frames), (0, 0)),
+                constant_values=pad_value)
         bf = jnp.pad(
             jnp.asarray(batch_frames).astype(jnp.int32),
             (0, batch_p - batch),
@@ -446,7 +535,7 @@ def decode(observation, batch_frames, transition, initial, backend=None,
 
     fn = _build_decode(
         backend, batch_p, frames_p, states, states_in, band, interpret,
-        log_input, apply_epsilon, mesh_key, _config_key())
+        log_input, apply_epsilon, mesh_key, _config_key(), packed)
     if backend in ('xla', 'lse'):
         indices = fn(obs, bf, transition, initial)
     else:
