@@ -471,11 +471,12 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     # Packed inputs can only ride the stitched band fast path; any other
     # route (dense kernel, width-0 floor, non-stitched layout, xla/lse
     # backends) consumes the natural layout
-    if packed and not (
-            band is not None and band[1] > 0
-            and backend in ('pallas', 'band')
-            and str(getattr(
-                torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) == 'stitched'):
+    stitched_path = (
+        band is not None and band[1] > 0
+        and backend in ('pallas', 'band')
+        and str(getattr(
+            torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) == 'stitched')
+    if packed and not stitched_path:
         observation = _unpack_packed_fn()(observation)
         packed = False
 
@@ -491,8 +492,12 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     # spread the stream across chips, so the guard is per shard.
     frames_est = bucket_frames(frames)
     states_est = _round_up(states, 128)
+    # The stitched path with a NATURAL-layout observation materializes a
+    # full-size mod-M relayout of it (packed inputs skip that copy)
+    obs_copies = 2 if (stitched_path and not packed) else 1
     footprint = (
-        batch * frames_est * (states_in + states_est) * 4 // n_shards)
+        batch * frames_est * (states_in * obs_copies + states_est) * 4
+        // n_shards)
     if footprint > int(torbi_tpu.DECODE_MEMORY_BUDGET) and batch > 8:
         half = (batch + 1) // 2
         first_obs = observation[:, :half] if packed else observation[:half]
@@ -501,6 +506,11 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             first_obs, batch_frames[:half], transition, initial,
             backend=backend, finite_observation=finite_observation,
             log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
+        # The guard path is the degraded-memory mode: completing the first
+        # half before dispatching the second bounds peak residency (async
+        # queuing would otherwise hold every sub-call's inputs and
+        # intermediates at once)
+        first = jax.block_until_ready(first)
         second = decode(
             second_obs, batch_frames[half:], transition, initial,
             backend=backend, finite_observation=finite_observation,
