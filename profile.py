@@ -45,6 +45,15 @@ def main():
             host.shape[:2] + (states_p,), -np.inf, dtype=np.float32)
         padded[..., :args.states] = host
         host = padded
+    # Pack to the stitched kernel's mod-M layout (the bench's input
+    # convention) so the pipeline stage measures the production fast path
+    import torbi_tpu
+    if (states_p % 128 == 0
+            and getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', '') == 'stitched'):
+        from bench import pack_mod
+        obs_pipeline = jnp.asarray(pack_mod(host))
+    else:
+        obs_pipeline = jnp.asarray(host)
     obs = jnp.asarray(host)
     if args.states == 1440:
         transition = jnp.asarray(np.log(pitch.transition_matrix() + tiny))
@@ -58,7 +67,8 @@ def main():
     batch_frames = np.full(args.batch, args.frames, dtype=np.int32)
 
     stages = prof.time_stages(
-        obs, batch_frames, transition, initial, iters=args.iters)
+        obs, batch_frames, transition, initial, iters=args.iters,
+        pipeline_observation=obs_pipeline)
     band = stages.pop('band')
     states_padded = ((args.states + 127) // 128) * 128
     sol = prof.speed_of_light(

@@ -128,10 +128,13 @@ FRAME_BUCKETS = (
 BATCH_PAD_MULTIPLE = 8
 
 # Split a decode batch into independent sub-calls when its estimated
-# device footprint -- (states + states_padded) * 4 bytes per (row, frame)
-# cell of the bucketed shape -- exceeds this. Real usage lands ~2-3x the
-# estimate (XLA buffer slack), so 5.5e9 keeps peak under a 16 GB HBM.
-DECODE_MEMORY_BUDGET = 5_500_000_000
+# device footprint exceeds this: (obs_copies * states_in + states_padded)
+# * 4 bytes per (row, frame) cell of the bucketed shape, where obs_copies
+# is 2 on the stitched path with a natural-layout observation (the mod-M
+# relayout materializes a full-size copy; packed inputs skip it). Real
+# peak residency also includes the parent batch and slice copies during
+# recursive splits, so the budget stays well under the 16 GB HBM.
+DECODE_MEMORY_BUDGET = 4_500_000_000
 
 # Temperature for the MXU-accelerated approximate decode (backend='lse');
 # higher is closer to exact Viterbi (see ops/lse.py)

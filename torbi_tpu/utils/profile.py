@@ -163,7 +163,8 @@ def time_submissions(fn, fetch_scalar, iters=8):
     return elapsed / iters
 
 
-def time_stages(observation, batch_frames, transition, initial, iters=8):
+def time_stages(observation, batch_frames, transition, initial, iters=8,
+                pipeline_observation=None):
     """Measure forward kernel, backtrace kernel, staged pipeline, and
     end-to-end wall time for one decode workload.
 
@@ -177,6 +178,11 @@ def time_stages(observation, batch_frames, transition, initial, iters=8):
       host dispatch + result sync)
     - glue_ms: pipeline - forward - backtrace (XLA copies and conversions)
     - host_ms: e2e - pipeline (dispatch/tunnel overhead)
+
+    ``pipeline_observation`` optionally substitutes a different (e.g.
+    mod-M packed) observation for the staged-pipeline and e2e stages, so
+    they measure the production input convention while the standalone
+    kernel stages keep the natural layout.
     """
     import jax
     import jax.numpy as jnp
@@ -244,9 +250,12 @@ def time_stages(observation, batch_frames, transition, initial, iters=8):
     _log('stage: staged pipeline')
 
     # Full staged pipeline (what dispatch.decode dispatches per batch)
+    pipe_obs = (
+        observation if pipeline_observation is None else pipeline_observation)
+
     def pipeline():
         return dispatch.decode(
-            observation, bf, transition, initial, finite_observation=True)
+            pipe_obs, bf, transition, initial, finite_observation=True)
 
     pipeline_ms = time_submissions(
         pipeline, lambda r: r[0, 0], iters) * 1e3
