@@ -126,6 +126,49 @@ def test_constant_transition_fast_path_tpu():
 
 
 @requires_tpu
+def test_packed_pitch_matches_oracle_tpu():
+    """The production hot path through real Mosaic: mod-M PACKED
+    observation -> stitched forward (raw12) -> mod-M backtrace, bit-exact
+    vs the oracle (the CPU suite covers this in interpreter mode via
+    tests/test_parity.py::test_packed_observation_matches_natural)."""
+    from torbi_tpu.models import pitch
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode, padded_states
+
+    rng = np.random.default_rng(23)
+    tiny = np.finfo(np.float32).tiny
+    batch, frames, states = 8, 64, 1440
+
+    centers = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(batch, frames)), axis=1) + 720,
+        0, states - 1)
+    bins = np.arange(states, dtype=np.float32)[None, None, :]
+    logits = -0.5 * (
+        (bins - centers[..., None].astype(np.float32)) / 2.5) ** 2
+    obs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+    obs = np.log(np.exp(obs.astype(np.float32)) + tiny)
+
+    trans = np.log(pitch.transition_matrix() + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+    bf[3] = 1
+    bf[5] = frames - 9
+
+    states_p = padded_states(states)
+    padded = np.full((batch, frames, states_p), -np.inf, dtype=np.float32)
+    padded[..., :states] = obs
+    packed = np.ascontiguousarray(
+        padded.reshape(batch, frames, 128, states_p // 128)
+        .transpose(3, 0, 1, 2))
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode(
+        jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+@requires_tpu
 def test_file_workload_end_to_end_tpu(tmp_path):
     """from_files_to_files on the real chip: native loader (lane-padded
     batch), band kernel, saves -- decoded files match the oracle"""
