@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
@@ -88,7 +89,28 @@ def main():
         '--reference-only', action='store_true',
         help='only run the (slow, CPU) reference decode pass and exit; '
              'outputs are cached so the main run skips it')
+    parser.add_argument(
+        '--wait-backend', type=int, default=0,
+        help='minutes to wait for the accelerator backend before giving '
+             'up (the development tunnel drops out intermittently)')
     args = parser.parse_args()
+
+    if args.wait_backend and not args.reference_only:
+        # Probe in subprocesses: a failed backend init poisons the parent
+        # process's jax for good, so never probe in-process
+        import subprocess
+        deadline = time.time() + args.wait_backend * 60
+        while True:
+            probe = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True, timeout=300)
+            if probe.returncode == 0:
+                break
+            if time.time() > deadline:
+                print('backend never became available', file=sys.stderr)
+                sys.exit(1)
+            print('backend unavailable; retrying in 60 s', flush=True)
+            time.sleep(60)
 
     workdir = Path(args.workdir)
     stems, lengths = build_corpus(
