@@ -214,11 +214,9 @@ def _device_resident_throughput(input_files, trans_path, iters=4):
 
 def pack_mod(padded):
     """(B, T, S_p) -> (M, B, T, 128) mod-M packed layout (the stitched
-    kernel's input convention; see ops/dispatch.decode)"""
-    batch, frames, states_p = padded.shape
-    m = states_p // 128
-    return np.ascontiguousarray(
-        padded.reshape(batch, frames, 128, m).transpose(3, 0, 1, 2))
+    kernel's input convention; see ops/dispatch.pack_observation)"""
+    from torbi_tpu.ops.dispatch import pack_observation
+    return pack_observation(padded)
 
 
 def _headline_inputs():

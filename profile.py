@@ -50,8 +50,8 @@ def main():
     import torbi_tpu
     if (states_p % 128 == 0
             and getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', '') == 'stitched'):
-        from bench import pack_mod
-        obs_pipeline = jnp.asarray(pack_mod(host))
+        from torbi_tpu.ops.dispatch import pack_observation
+        obs_pipeline = jnp.asarray(pack_observation(host))
     else:
         obs_pipeline = jnp.asarray(host)
     obs = jnp.asarray(host)
@@ -96,10 +96,13 @@ def main():
     trace_rows = []
     if args.trace:
         def run_once():
+            # Trace the PRODUCTION input convention (packed when the
+            # stitched layout is active) -- tracing the natural layout
+            # here would show relayout copies the packed path never pays
             from torbi_tpu.ops import dispatch
             return jax.block_until_ready(dispatch.decode(
-                obs, jnp.asarray(batch_frames), transition, initial,
-                finite_observation=True))
+                obs_pipeline, jnp.asarray(batch_frames), transition,
+                initial, finite_observation=True))
         try:
             prof.capture(run_once, args.trace)
             trace_rows = prof.device_op_times(args.trace, top=15)

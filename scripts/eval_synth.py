@@ -39,11 +39,32 @@ def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
 
     Files are written once (content-stable across runs via the seed) in
     the cache layout the harness expects: CACHE_DIR/synth/{stem}.pt.
+    The generation parameters persist next to the corpus; cached files
+    are only reused when they match (otherwise the stale corpus -- and
+    its reference outputs, which key on its contents -- is rebuilt).
     """
     from bench import synthetic_posteriorgrams
 
     cache = workdir / 'cache' / DATASET
     cache.mkdir(parents=True, exist_ok=True)
+    meta_path = workdir / 'cache' / f'{DATASET}_meta.json'
+    meta = {'n_files': n_files, 'min_frames': min_frames,
+            'max_frames': max_frames, 'seed': seed}
+    # A pre-meta corpus (built by an older script revision) is trusted as
+    # matching the current invocation; only an explicit mismatch rebuilds
+    # (reference outputs take hours to regenerate).
+    stale = False
+    if meta_path.exists():
+        with open(meta_path) as file:
+            stale = json.load(file) != meta
+    if stale:
+        shutil.rmtree(cache)
+        cache.mkdir(parents=True)
+        refs = workdir / 'eval' / DATASET / 'reference'
+        if refs.exists():
+            shutil.rmtree(refs)
+    with open(meta_path, 'w') as file:
+        json.dump(meta, file)
     rng = np.random.default_rng(seed)
     lengths = rng.integers(min_frames, max_frames, size=n_files)
     stems = [f'{i:06d}' for i in range(n_files)]

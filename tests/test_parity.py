@@ -396,9 +396,13 @@ def test_packed_observation_matches_natural():
     M = states_p // 128
     padded = np.full((batch, frames, states_p), -np.inf, np.float32)
     padded[..., :states] = obs
-    # Pack: state s = M*l + r -> (r, b, t, l)
+    # Pack: state s = M*l + r -> (r, b, t, l). Derived inline so the
+    # library helper is checked against an independent statement of the
+    # convention.
     packed = np.ascontiguousarray(
         padded.reshape(batch, frames, 128, M).transpose(3, 0, 1, 2))
+    from torbi_tpu.ops.dispatch import pack_observation
+    np.testing.assert_array_equal(packed, pack_observation(padded))
 
     natural = np.asarray(dispatch_decode(
         jnp.asarray(padded), jnp.asarray(bf), jnp.asarray(trans),
@@ -429,12 +433,11 @@ def test_packed_observation_unpacks_for_dense_transition():
     init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
     bf = np.full(batch, frames, dtype=np.int32)
 
+    from torbi_tpu.ops.dispatch import pack_observation
     states_p = ((states + 127) // 128) * 128
-    M = states_p // 128
     padded = np.full((batch, frames, states_p), -np.inf, np.float32)
     padded[..., :states] = obs
-    packed = np.ascontiguousarray(
-        padded.reshape(batch, frames, 128, M).transpose(3, 0, 1, 2))
+    packed = pack_observation(padded)
 
     obs_eps = np.log(np.exp(obs) + tiny)
     expected = oracle.viterbi_numpy(obs_eps, bf, trans, init)

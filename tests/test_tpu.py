@@ -154,12 +154,11 @@ def test_packed_pitch_matches_oracle_tpu():
     bf[3] = 1
     bf[5] = frames - 9
 
+    from torbi_tpu.ops.dispatch import pack_observation
     states_p = padded_states(states)
     padded = np.full((batch, frames, states_p), -np.inf, dtype=np.float32)
     padded[..., :states] = obs
-    packed = np.ascontiguousarray(
-        padded.reshape(batch, frames, 128, states_p // 128)
-        .transpose(3, 0, 1, 2))
+    packed = pack_observation(padded)
 
     expected = oracle.viterbi_numpy(obs, bf, trans, init)
     got = np.asarray(decode(

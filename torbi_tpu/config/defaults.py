@@ -114,6 +114,9 @@ BAND_KERNEL_LAYOUT = 'stitched'
 # Backtrace kernel flavor: True lowers the frame chase as a fori_loop
 # (Mosaic program ~100x smaller -> compiles in seconds instead of many
 # minutes, identical math); False keeps the fully unrolled variant.
+# Applies to the natural-layout backtrace only -- the stitched path's
+# mod-M backtrace is always the looped form (an unrolled variant was
+# never worth the compile time there).
 BACKTRACE_LOOP = True
 
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the

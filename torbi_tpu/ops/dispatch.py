@@ -198,6 +198,28 @@ def _config_key():
     )
 
 
+def pack_observation(observation):
+    """Lane-padded natural observation -> the mod-M PACKED layout.
+
+    (batch, frames, states_padded) -> (M, batch, frames, 128) with state
+    s = M*l + r at (r, batch_row, frame, lane l), M = states_padded/128 --
+    the layout ``decode`` consumes zero-copy on the stitched band path
+    (see ``_build_band_forward_stitched``). ``states_padded`` must be a
+    multiple of 128 (pad with -inf first, see ``padded_states``). Accepts
+    numpy (returns contiguous numpy, e.g. to pack once before a
+    host-to-device transfer) or jax arrays.
+    """
+    batch, frames, states_p = observation.shape
+    if states_p % 128:
+        raise ValueError(
+            f'pack_observation needs a lane-padded observation (states a '
+            f'multiple of 128), got {states_p}')
+    arr = observation.reshape(batch, frames, 128, states_p // 128)
+    if isinstance(arr, np.ndarray):
+        return np.ascontiguousarray(arr.transpose(3, 0, 1, 2))
+    return jnp.transpose(arr, (3, 0, 1, 2))
+
+
 @functools.lru_cache(maxsize=2)
 def _unpack_packed_fn():
     """(M, B, T, 128) mod-M observation -> (B, T, S_p) natural (cached
@@ -389,6 +411,15 @@ def decode(observation, batch_frames, transition, initial, backend=None,
         (disable with ``torbi_tpu.AUTO_SHARD = False``)
 
     Returns (batch, frames) int32 decoded state indices.
+
+    Tie caveat: a single very long sequence over a tiny state space may
+    auto-route to the time-sharded decoder (``TIME_SHARDED_AUTO``,
+    config/defaults.py), whose paths match the serial kernels whenever
+    the optimal path is unique but may resolve EXACT score ties
+    differently (the same divergence class the reference exhibits
+    between its CPU and CUDA backends). Set
+    ``torbi_tpu.TIME_SHARDED_AUTO = False`` to pin the serial,
+    oracle-bitwise kernels for every shape.
     """
     backend = resolve_backend(backend)
     # Packed (mod-M) observations: a 4D (M, batch, frames, 128) array in

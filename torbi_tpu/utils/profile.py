@@ -222,6 +222,9 @@ def time_stages(observation, batch_frames, transition, initial, iters=8,
         if layout == 'stitched' and band[1] > 0:
             band_matrix = band_ops.build_band_matrix_stitched(
                 band_matrix, states_p, band[0], band[1])
+        elif layout == 'tilted' and band[1] > 0:
+            band_matrix = band_ops.build_band_matrix_tilted(
+                band_matrix, states_p)
         band_matrix = jax.block_until_ready(band_matrix)
 
     def forward(obs=observation):
