@@ -122,10 +122,14 @@ def main():
         import subprocess
         deadline = time.time() + args.wait_backend * 60
         while True:
-            probe = subprocess.run(
-                [sys.executable, '-c', 'import jax; jax.devices()'],
-                capture_output=True, timeout=300)
-            if probe.returncode == 0:
+            try:
+                probe = subprocess.run(
+                    [sys.executable, '-c', 'import jax; jax.devices()'],
+                    capture_output=True, timeout=300)
+                ok = probe.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False  # hung backend init counts as unavailable
+            if ok:
                 break
             if time.time() > deadline:
                 print('backend never became available', file=sys.stderr)
