@@ -195,9 +195,15 @@ def _device_resident_throughput(input_files, trans_path, iters=4):
     initial = jnp.asarray(
         np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny))
 
+    # The production file workload assembles batches in the stitched
+    # kernel's packed layout when the decode takes that path; measure the
+    # same pipeline
+    from torbi_tpu.core import _pack_eligible
+    pack = _pack_eligible(trans, initial, True, None)
+
     total_steps, total_sec = 0, 0.0
     for observation, batch_frames, _, _ in torbi_tpu.data.loader(
-            input_files, pad_value=float('-inf')):
+            input_files, pad_value=float('-inf'), pack=pack):
         obs = jnp.asarray(np.asarray(observation))
         bf = jnp.asarray(np.asarray(batch_frames, dtype=np.int32))
 

@@ -129,3 +129,104 @@ def test_loader_prefetch(tmp_path):
     assert len(batches) == 3
     assert batches[0][0].shape == (2, bucket_frames(4), 3)
     assert batches[2][0].shape == (1, bucket_frames(4), 3)
+
+
+def _banded_transition(states, halfwidth=4):
+    """Benchmark-style banded probability transition (finite log floor
+    after log(p + tiny), so the band kernels gate in)"""
+    xx, yy = np.meshgrid(
+        np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    return (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
+def test_collate_pack_matches_pack_observation():
+    """pack=True builds the mod-M layout bitwise identical to packing the
+    natural collate output"""
+    from torbi_tpu.ops.dispatch import pack_observation, padded_states
+
+    rng = np.random.default_rng(7)
+    states = 240  # padded_states -> 256: two mod-M blocks
+    assert padded_states(states) == 256
+    batch = [
+        (rng.normal(size=(n, states)).astype(np.float32), f'{i}.pt')
+        for i, n in enumerate([12, 5, 9])]
+
+    natural, frames_n, chunks_n, files_n = collate(batch)
+    packed, frames_p, chunks_p, files_p = collate(batch, pack=True)
+    assert packed.shape == (2, 3, natural.shape[1], 128)
+    np.testing.assert_array_equal(frames_p, frames_n)
+    assert chunks_p == chunks_n and files_p == files_n
+    np.testing.assert_array_equal(packed, pack_observation(natural))
+
+
+def test_collate_pack_falls_back_for_unpadded_states():
+    """State counts that skip lane padding (waste guard) collate naturally
+    even with pack=True"""
+    obs = [np.ones((5, 4), np.float32)]
+    observation, _, _, _ = collate([(obs[0], 'a.pt')], pack=True)
+    assert observation.ndim == 3
+
+
+def test_pack_eligible_mirrors_dispatch():
+    from torbi_tpu.core import _pack_eligible
+
+    states = 96
+    trans = _banded_transition(states)
+    # Uniform (None) transition: width-0 fast path, not packable
+    assert not _pack_eligible(None, None, False, 'band')
+    # Banded transition through the stitched band backend: packable
+    assert _pack_eligible(trans, None, False, 'band')
+    # Same transition on the xla backend: not packable
+    assert not _pack_eligible(trans, None, False, 'xla')
+    # Non-stitched layout: not packable
+    old = torbi_tpu.BAND_KERNEL_LAYOUT
+    torbi_tpu.BAND_KERNEL_LAYOUT = 'rolled'
+    try:
+        assert not _pack_eligible(trans, None, False, 'band')
+    finally:
+        torbi_tpu.BAND_KERNEL_LAYOUT = old
+
+
+def test_from_files_to_files_packed(tmp_path):
+    """The packed file workload (banded transition, stitched layout)
+    matches the natural-layout decode exactly"""
+    from torbi_tpu.core import _pack_eligible
+
+    rng = np.random.default_rng(11)
+    states = 240
+    trans_prob = _banded_transition(states)
+    trans_file = tmp_path / 'transition.npy'
+    np.save(trans_file, trans_prob)
+
+    input_files, output_files, lengths = [], [], [12, 30, 7]
+    for i, frames in enumerate(lengths):
+        obs = rng.dirichlet(np.ones(states), size=frames).astype(np.float32)
+        file = tmp_path / f'obs{i}.npy'
+        np.save(file, obs)
+        input_files.append(file)
+        output_files.append(tmp_path / f'out{i}.npy')
+
+    old = torbi_tpu.BACKEND
+    torbi_tpu.BACKEND = 'band'
+    try:
+        # Exactly the tuple from_files_to_files computes internally
+        assert _pack_eligible(jnp_asarray(trans_prob), None, False, None)
+        torbi_tpu.from_files_to_files(
+            input_files, output_files,
+            transition_file=trans_file, log_probs=False)
+        for input_file, output_file, frames in zip(
+                input_files, output_files, lengths):
+            decoded = io.load(output_file)
+            assert decoded.shape == (frames,)
+            expected = np.asarray(torbi_tpu.from_probabilities(
+                io.load(input_file)[None], transition=trans_prob,
+                log_probs=False))[0]
+            np.testing.assert_array_equal(decoded, expected)
+    finally:
+        torbi_tpu.BACKEND = old
+
+
+def jnp_asarray(array):
+    import jax.numpy as jnp
+    return jnp.asarray(array)

@@ -157,3 +157,36 @@ def test_padded_states_collate(tmp_path):
     assert np.isneginf(obs[0, 0, states:]).all()
     np.testing.assert_array_equal(obs[1, :9, :states], rows[1])
     assert (obs[0, 5:, :states] == 0).all()
+
+
+def test_load_batch_packed_matches_pack_observation(tmp_path):
+    """The C++ packed writer produces bitwise pack_observation(natural)"""
+    from torbi_tpu.ops.dispatch import pack_observation, padded_states
+
+    rng = np.random.default_rng(5)
+    states = 240
+    states_p = padded_states(states)
+    assert states_p == 256
+    file_a, _ = _write(tmp_path, 'pa', 10, states, rng)
+    file_b, _ = _write(tmp_path, 'pb', 4, states, rng)
+
+    natural = native.load_batch(
+        [file_a, file_b], 16, states, num_threads=2,
+        padded_states=states_p, pad_value=float('-inf'))
+    packed = native.load_batch(
+        [file_a, file_b], 16, states, num_threads=2,
+        padded_states=states_p, pad_value=float('-inf'), pack=True)
+    assert natural is not None and packed is not None
+    obs_n, frames_n = natural
+    obs_p, frames_p = packed
+    assert obs_p.shape == (states_p // 128, 2, 16, 128)
+    np.testing.assert_array_equal(frames_p, frames_n)
+    np.testing.assert_array_equal(obs_p, pack_observation(obs_n))
+
+
+def test_load_batch_packed_rejects_unpadded(tmp_path):
+    """pack=True needs a 128-multiple padded_states; callers fall back"""
+    rng = np.random.default_rng(6)
+    file_a, _ = _write(tmp_path, 'pr', 3, 6, rng)
+    assert native.load_batch(
+        [file_a], 4, 6, padded_states=6, pack=True) is None

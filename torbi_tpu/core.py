@@ -140,13 +140,50 @@ def from_probabilities(
     return indices
 
 
+def _pack_eligible(transition, initial, log_probs, backend):
+    """True when decode will take the stitched band fast path for these
+    inputs -- i.e. a mod-M PACKED observation (data/collate.py) is
+    consumed zero-copy. Mirrors ops.dispatch.decode's gating: packed
+    inputs that miss the path are still decoded correctly (decode unpacks
+    them on device), so this is a performance predicate, not a
+    correctness gate."""
+    from .ops import band as band_ops
+    from .ops.dispatch import resolve_backend
+
+    if transition is None:
+        return False  # uniform transition routes to the width-0 path
+    if resolve_backend(backend) not in ('pallas', 'band'):
+        return False
+    if not torbi_tpu.USE_BAND_KERNEL:
+        return False
+    if str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) \
+            != 'stitched':
+        return False
+    trans = _prepare_log(transition, log_probs)
+    states = int(trans.shape[0])
+    if initial is None:
+        init = _default_initial(states)
+    else:
+        init = _prepare_log(initial, log_probs)
+    band = band_ops.gate_band(
+        band_ops.detect_band(trans), init, observation=None,
+        finite_observation=True)
+    return band is not None and band[1] > 0
+
+
 def _dispatch_decode(observation, batch_frames, transition, initial,
                      log_probs, gpu, num_threads, backend):
     """Prepare inputs and dispatch the decode WITHOUT waiting for the
     result (JAX dispatch is asynchronous); from_dataloader uses this to
     overlap device compute with host saves."""
     observation = to_jax(observation, jnp.float32)
-    batch, frames, states_in = observation.shape
+    if observation.ndim == 4:
+        # mod-M PACKED layout from the data pipeline (data/collate.py):
+        # (M, batch, frames, 128) with states interleaved across blocks
+        _, batch, frames, _ = observation.shape
+        states_in = observation.shape[0] * observation.shape[3]
+    else:
+        batch, frames, states_in = observation.shape
     device = _device(gpu)
     if device is not None:
         observation = jax.device_put(observation, device)
@@ -315,7 +352,11 @@ def from_files_to_files(
     from_dataloader(
         dataloader=torbi_tpu.data.loader(
             input_files,
-            pad_value=float('-inf') if log_probs else 0.0),
+            pad_value=float('-inf') if log_probs else 0.0,
+            # Assemble batches directly in the kernel's packed layout when
+            # the decode will take the stitched band path (no relayout
+            # copies host- or device-side)
+            pack=_pack_eligible(transition, initial, log_probs, backend)),
         output_files=mapping,
         transition=transition,
         initial=initial,

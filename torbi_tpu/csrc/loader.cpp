@@ -145,6 +145,61 @@ int load_one(const char* path, float* out_row, int32_t* frames_out,
   return kOk;
 }
 
+// Load one file directly into the stitched band kernel's mod-M PACKED
+// layout: out is an (M, n, max_frames, 128) buffer with state s = M*l + r
+// at (r, file, frame, lane l), M = padded_states / 128. Bitwise identical
+// to packing the natural padded row (lane tails pad_value for every frame,
+// frame tails zero) -- the layout ops/dispatch.py::pack_observation
+// produces -- but assembled in one streaming pass per file, so the file
+// workload skips both the host transpose copy AND the in-graph relayout
+// the natural layout pays on the stitched decode path.
+int load_one_packed(const char* path, float* out, int32_t* frames_out,
+                    int64_t file_index, int64_t n, int64_t max_frames,
+                    int64_t states, int64_t padded_states, float pad_value,
+                    std::vector<float>* scratch) {
+  FILE* file = fopen(path, "rb");
+  if (!file) return kErrOpen;
+  NpyInfo info;
+  int status = parse_npy_header(file, &info);
+  if (status != kOk) {
+    fclose(file);
+    return status;
+  }
+  if (info.states != states || info.frames > max_frames) {
+    fclose(file);
+    return kErrStates;
+  }
+  const int64_t m = padded_states / 128;
+  const int64_t block = n * max_frames * 128;  // one r-block's extent
+  scratch->resize(states);
+  float* row = scratch->data();
+  for (int64_t t = 0; t < info.frames; ++t) {
+    if (fread(row, sizeof(float), states, file) !=
+        static_cast<size_t>(states)) {
+      fclose(file);
+      return kErrRead;
+    }
+    for (int64_t r = 0; r < m; ++r) {
+      float* dst = out + r * block + (file_index * max_frames + t) * 128;
+      // Lanes 0..k-1 hold states r, r+M, ...; the tail is lane padding
+      const int64_t k = r < states ? (states - r + m - 1) / m : 0;
+      for (int64_t lane = 0; lane < k; ++lane) dst[lane] = row[m * lane + r];
+      for (int64_t lane = k; lane < 128; ++lane) dst[lane] = pad_value;
+    }
+  }
+  fclose(file);
+  // Frame tail: all-zero, matching this loader's natural layout (load_one
+  // zeroes the whole tail, lane padding included); padded frames are
+  // masked by batch_frames either way
+  for (int64_t r = 0; r < m; ++r) {
+    float* dst =
+        out + r * block + (file_index * max_frames + info.frames) * 128;
+    memset(dst, 0, (max_frames - info.frames) * 128 * sizeof(float));
+  }
+  *frames_out = static_cast<int32_t>(info.frames);
+  return kOk;
+}
+
 }  // namespace
 
 extern "C" {
@@ -179,6 +234,40 @@ int load_batch(const char** paths, int64_t n, float* out, int32_t* frames,
       float* row = out + i * max_frames * padded_states;
       int status = load_one(paths[i], row, frames + i, max_frames, states,
                             padded_states, pad_value);
+      if (status != kOk) {
+        int expected = kOk;
+        error.compare_exchange_strong(expected, status);
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int spawn = static_cast<int>(
+      n < static_cast<int64_t>(num_threads) ? n : num_threads);
+  threads.reserve(spawn);
+  for (int i = 0; i < spawn; ++i) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return error.load();
+}
+
+// Load n files straight into the mod-M PACKED (M, n, max_frames, 128)
+// layout (see load_one_packed). padded_states must be a 128 multiple.
+int load_batch_packed(const char** paths, int64_t n, float* out,
+                      int32_t* frames, int64_t max_frames, int64_t states,
+                      int64_t padded_states, float pad_value,
+                      int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  if (padded_states < states || padded_states % 128 != 0) return kErrStates;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> error(kOk);
+  auto worker = [&]() {
+    std::vector<float> scratch;
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n || error.load() != kOk) return;
+      int status =
+          load_one_packed(paths[i], out, frames + i, i, n, max_frames,
+                          states, padded_states, pad_value, &scratch);
       if (status != kOk) {
         int expected = kOk;
         error.compare_exchange_strong(expected, status);

@@ -19,7 +19,7 @@ def _flatten(observations):
     return list(itertools.chain.from_iterable(observations)), counts
 
 
-def collate(batch, pad_value=float('-inf')):
+def collate(batch, pad_value=float('-inf'), pack=False):
     """Collate (observation, input_file) items into a padded batch.
 
     Returns (observation (rows, frames, states_padded), batch_frames
@@ -29,6 +29,14 @@ def collate(batch, pad_value=float('-inf')):
     filled with ``pad_value`` (-inf for log-space data, 0.0 for
     probabilities) -- unaligned minor dimensions force a device-side
     relayout on every host-to-device transfer.
+
+    With ``pack=True`` (and a state count whose lane padding is a 128
+    multiple) the observation is built directly in the stitched band
+    kernel's mod-M PACKED layout, (M, rows, frames, 128) with state
+    s = M*l + r at (r, row, frame, lane l) -- bitwise identical to
+    ``ops.dispatch.pack_observation`` of the natural batch, but assembled
+    in one pass so the file workload feeds ``decode`` with zero relayout
+    copies on either side of the transfer.
     """
     from ..ops.dispatch import bucket_frames, padded_states
 
@@ -40,9 +48,28 @@ def collate(batch, pad_value=float('-inf')):
     lengths = np.array([row.shape[0] for row in rows], dtype=np.int32)
     states = rows[0].shape[-1]
     states_p = padded_states(states)
-    padded = np.zeros(
-        (len(rows), bucket_frames(int(lengths.max())), states_p),
-        dtype=np.asarray(rows[0]).dtype)
+    frames_p = bucket_frames(int(lengths.max()))
+    dtype = np.asarray(rows[0]).dtype
+
+    if pack and states_p % 128 == 0:
+        m = states_p // 128
+        packed = np.zeros((m, len(rows), frames_p, 128), dtype=dtype)
+        if states_p != states:
+            # The natural layout's lane tail is pad_value for EVERY frame
+            # (including frame padding); mirror it so the result is
+            # bitwise pack_observation(natural collate)
+            for r in range(m):
+                k = -(-(states - r) // m) if r < states else 0
+                packed[r, :, :, k:] = pad_value
+        for i, (row, n) in enumerate(zip(rows, lengths)):
+            row = np.asarray(row)
+            for r in range(m):
+                # States r, r+M, r+2M, ... land on lanes 0.. of block r
+                cols = row[:, r::m]
+                packed[r, i, :n, :cols.shape[1]] = cols
+        return packed, lengths, batch_chunks, input_files
+
+    padded = np.zeros((len(rows), frames_p, states_p), dtype=dtype)
     if states_p != states:
         padded[:, :, states:] = pad_value
     for row, out, n in zip(rows, padded, lengths):

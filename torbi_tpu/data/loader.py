@@ -17,13 +17,13 @@ from .dataset import Dataset
 class DataLoader:
 
     def __init__(self, dataset, batch_size, num_workers=0, collate_fn=None,
-                 pad_value=float('-inf')):
+                 pad_value=float('-inf'), pack=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
         if collate_fn is None:
             def collate_fn(batch):
-                return default_collate(batch, pad_value=pad_value)
+                return default_collate(batch, pad_value=pad_value, pack=pack)
         self.collate_fn = collate_fn
 
     def _batches(self):
@@ -69,8 +69,9 @@ class NativeDataLoader:
     """
 
     def __init__(self, input_files, batch_size, num_threads, shapes=None,
-                 pad_value=float('-inf')):
+                 pad_value=float('-inf'), pack=False):
         self.pad_value = pad_value
+        self.pack = pack
         self.dataset = Dataset(input_files)
         input_files = [str(f) for f in input_files]
         self.batch_size = batch_size
@@ -106,11 +107,13 @@ class NativeDataLoader:
             result = native.load_batch(
                 files, max_frames, states, self.num_threads,
                 padded_states=padded_states(states),
-                pad_value=self.pad_value)
+                pad_value=self.pad_value,
+                pack=self.pack)
             if result is None:
                 # File changed underneath or parse error: python fallback
                 batch = [(Dataset([f])[0][0], f) for f in files]
-                yield default_collate(batch, pad_value=self.pad_value)
+                yield default_collate(
+                    batch, pad_value=self.pad_value, pack=self.pack)
                 continue
             observation, batch_frames = result
             yield observation, batch_frames, [1] * len(files), tuple(files)
@@ -131,11 +134,16 @@ def _native_eligible(input_files):
 
 
 def loader(input_files, num_workers=None, collate_fn=None,
-           pad_value=float('-inf')):
+           pad_value=float('-inf'), pack=False):
     """Retrieve a data loader.
 
     pad_value fills the lane-padding of the observation's state dimension:
     -inf for log-space data (the default), 0.0 for probabilities.
+
+    pack=True assembles batches directly in the stitched band kernel's
+    mod-M PACKED layout (see data/collate.py) -- set by the file workload
+    when the decode will take that path, so observations reach the kernel
+    with no relayout copy on host or device.
     """
     if num_workers is None:
         num_workers = torbi_tpu.NUM_WORKERS
@@ -144,11 +152,12 @@ def loader(input_files, num_workers=None, collate_fn=None,
         if shapes is not None:
             return NativeDataLoader(
                 input_files, torbi_tpu.BATCH_SIZE, num_workers,
-                shapes=shapes, pad_value=pad_value)
+                shapes=shapes, pad_value=pad_value, pack=pack)
     dataset = Dataset(input_files)
     return DataLoader(
         dataset,
         batch_size=torbi_tpu.BATCH_SIZE,
         num_workers=num_workers,
         collate_fn=collate_fn,
-        pad_value=pad_value)
+        pad_value=pad_value,
+        pack=pack)

@@ -40,6 +40,9 @@ def _load_library():
             ctypes.c_int,
         ]
         lib.load_batch.restype = ctypes.c_int
+        if hasattr(lib, 'load_batch_packed'):
+            lib.load_batch_packed.argtypes = lib.load_batch.argtypes
+            lib.load_batch_packed.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -63,7 +66,7 @@ def probe(path):
 
 
 def load_batch(paths, max_frames, states, num_threads=8,
-               padded_states=None, pad_value=float('-inf')):
+               padded_states=None, pad_value=float('-inf'), pack=False):
     """Load .npy files into a padded (n, max_frames, padded_states) batch.
 
     Each frame's lane tail [states, padded_states) is filled with
@@ -71,19 +74,30 @@ def load_batch(paths, max_frames, states, num_threads=8,
     beyond each file's length are zero. Returns (observation float32
     array, batch_frames int32 array), or None when the native path cannot
     handle the inputs (caller falls back).
+
+    With ``pack=True`` (requires a 128-multiple padded_states) the batch
+    is written directly in the stitched band kernel's mod-M PACKED layout
+    (M, n, max_frames, 128) -- bitwise ``ops.dispatch.pack_observation``
+    of the natural batch, assembled in the loader threads.
     """
     lib = _load_library()
     if lib is False:
         return None
     if padded_states is None:
         padded_states = states
+    if pack and (padded_states % 128 != 0
+                 or not hasattr(lib, 'load_batch_packed')):
+        return None
     n = len(paths)
-    observation = np.empty(
-        (n, max_frames, padded_states), dtype=np.float32)
+    shape = (
+        (padded_states // 128, n, max_frames, 128) if pack
+        else (n, max_frames, padded_states))
+    observation = np.empty(shape, dtype=np.float32)
     frames = np.empty((n,), dtype=np.int32)
     encoded = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * n)(*encoded)
-    status = lib.load_batch(
+    fn = lib.load_batch_packed if pack else lib.load_batch
+    status = fn(
         arr,
         n,
         observation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
