@@ -230,3 +230,44 @@ def test_from_files_to_files_packed(tmp_path):
 def jnp_asarray(array):
     import jax.numpy as jnp
     return jnp.asarray(array)
+
+
+def test_from_files_to_files_packed_chunked(tmp_path):
+    """Entropy-chunked rows flow through the packed collate path too:
+    chunked + packed decode matches the unchunked natural decode on a
+    near-deterministic observation (splits land where decoding is
+    locally forced, reference chunking semantics)"""
+    rng = np.random.default_rng(19)
+    states = 240
+    trans_prob = _banded_transition(states)
+    trans_file = tmp_path / 'transition.npy'
+    np.save(trans_file, trans_prob)
+
+    # Peaked observation along an in-band random walk: decoding is locally
+    # forced to the planted path, so entropy chunking (approximate by
+    # design) cannot change it
+    steps = rng.integers(-2, 3, size=48)
+    path = np.clip(np.cumsum(steps) + states // 2, 0, states - 1)
+    obs = np.full((48, states), 1e-6, dtype=np.float32)
+    obs[np.arange(48), path] = 1.0
+    obs /= obs.sum(axis=1, keepdims=True)
+    input_file = tmp_path / 'obs.npy'
+    output_file = tmp_path / 'out.npy'
+    np.save(input_file, obs)
+
+    expected = np.asarray(torbi_tpu.from_probabilities(
+        obs[None], transition=trans_prob, log_probs=False))[0]
+
+    old_backend = torbi_tpu.BACKEND
+    old_chunk = torbi_tpu.MIN_CHUNK_SIZE
+    torbi_tpu.BACKEND = 'band'
+    torbi_tpu.MIN_CHUNK_SIZE = 8
+    try:
+        torbi_tpu.from_files_to_files(
+            [input_file], [output_file], transition_file=trans_file,
+            log_probs=False)
+    finally:
+        torbi_tpu.BACKEND = old_backend
+        torbi_tpu.MIN_CHUNK_SIZE = old_chunk
+    decoded = io.load(output_file)
+    np.testing.assert_array_equal(decoded, expected)
