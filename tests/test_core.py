@@ -82,3 +82,32 @@ def test_device_string_parity():
     # 'mps'/'cuda'/'gpu' alias the default accelerator platform
     assert _device('mps') is jax.devices(jax.default_backend())[0]
     assert _device('gpu:1') is jax.devices(jax.default_backend())[1]
+
+
+def test_from_probabilities_packed_observation():
+    """from_probabilities accepts a 4-D mod-M packed observation (the
+    data pipeline's zero-copy layout) and matches the natural decode"""
+    rng = np.random.default_rng(23)
+    batch, frames, states = 2, 10, 240
+    from torbi_tpu.ops.dispatch import pack_observation, padded_states
+
+    states_p = padded_states(states)
+    obs = rng.dirichlet(np.ones(states), size=(batch, frames)) \
+        .astype(np.float32)
+    padded = np.zeros((batch, frames, states_p), np.float32)
+    padded[..., :states] = obs
+
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    t = np.clip(5.0 - np.abs(xx - yy), 0, None)
+    trans = (t / t.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    old = torbi_tpu.BACKEND
+    torbi_tpu.BACKEND = 'band'
+    try:
+        natural = np.asarray(torbi_tpu.from_probabilities(
+            obs, transition=trans, log_probs=False))
+        packed = np.asarray(torbi_tpu.from_probabilities(
+            pack_observation(padded), transition=trans, log_probs=False))
+    finally:
+        torbi_tpu.BACKEND = old
+    np.testing.assert_array_equal(packed, natural)
