@@ -93,30 +93,45 @@ class NativeDataLoader:
         return (len(self.input_files) + self.batch_size - 1) \
             // self.batch_size
 
-    def __iter__(self):
+    def _load(self, start):
         from ..ops.dispatch import bucket_frames, padded_states
 
-        for start in range(0, len(self.input_files), self.batch_size):
-            stop = min(start + self.batch_size, len(self.input_files))
-            files = self.input_files[start:stop]
-            shapes = self.shapes[start:stop]
-            # Bucketed frames keep host-to-device transfers tile-aligned
-            # and batch shapes shared (see data/collate.py)
-            max_frames = bucket_frames(max(shape[0] for shape in shapes))
-            states = shapes[0][1]
-            result = native.load_batch(
-                files, max_frames, states, self.num_threads,
-                padded_states=padded_states(states),
-                pad_value=self.pad_value,
-                pack=self.pack)
-            if result is None:
-                # File changed underneath or parse error: python fallback
-                batch = [(Dataset([f])[0][0], f) for f in files]
-                yield default_collate(
-                    batch, pad_value=self.pad_value, pack=self.pack)
-                continue
-            observation, batch_frames = result
-            yield observation, batch_frames, [1] * len(files), tuple(files)
+        stop = min(start + self.batch_size, len(self.input_files))
+        files = self.input_files[start:stop]
+        shapes = self.shapes[start:stop]
+        # Bucketed frames keep host-to-device transfers tile-aligned
+        # and batch shapes shared (see data/collate.py)
+        max_frames = bucket_frames(max(shape[0] for shape in shapes))
+        states = shapes[0][1]
+        result = native.load_batch(
+            files, max_frames, states, self.num_threads,
+            padded_states=padded_states(states),
+            pad_value=self.pad_value,
+            pack=self.pack)
+        if result is None:
+            # File changed underneath or parse error: python fallback
+            batch = [(Dataset([f])[0][0], f) for f in files]
+            return default_collate(
+                batch, pad_value=self.pad_value, pack=self.pack)
+        observation, batch_frames = result
+        return observation, batch_frames, [1] * len(files), tuple(files)
+
+    def __iter__(self):
+        # Depth-1 prefetch: the next batch's file IO (C++ threads, GIL
+        # released) overlaps the consumer's device compute -- the same
+        # overlap the threaded python loader gets from its pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        starts = range(0, len(self.input_files), self.batch_size)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None
+            for start in starts:
+                future = pool.submit(self._load, start)
+                if pending is not None:
+                    yield pending.result()
+                pending = future
+            if pending is not None:
+                yield pending.result()
 
 
 def _native_eligible(input_files):
