@@ -222,3 +222,37 @@ def test_time_sharded_frames_not_divisible():
     init = jnp.zeros((4,), jnp.float32)
     with pytest.raises(ValueError):
         decode_time_sharded(obs, trans, init, mesh=mesh)
+
+
+def test_auto_shard_packed_observation():
+    """A mod-M PACKED observation (the file workload's layout) flows
+    through the sharded dispatch path -- obs sharded on its batch AXIS 1
+    (P(None, 'batch')) -- bitwise exactly, incl. a padded final shard"""
+    from torbi_tpu.ops import dispatch
+
+    rng = np.random.default_rng(41)
+    batch, frames, states, halfwidth = 60, 8, 240, 5  # batch pads to 64
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    states_p = dispatch.padded_states(states)
+    assert states_p == 256
+    padded = np.full((batch, frames, states_p), -np.inf, np.float32)
+    padded[..., :states] = obs
+    packed = dispatch.pack_observation(padded)
+
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.full(batch, frames, dtype=np.int32)
+    bf[5] = 3
+
+    assert dispatch.resolve_mesh(None, batch) is not None
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch.decode(
+        jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
