@@ -39,6 +39,8 @@ CASES = [
     (4, 33, 17, True),
     (3, 50, 64, True),
     (8, 20, 130, True),   # states > one lane tile
+    (2, 230, 16, True),   # frames bucket to 256: 2 backtrace frame tiles,
+                          # exercising the cross-tile chase boundary
 ]
 
 
@@ -444,4 +446,52 @@ def test_packed_observation_unpacks_for_dense_transition():
     got = np.asarray(dispatch_decode(
         jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', apply_epsilon=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_stitched_backtrace_multi_frame_tile():
+    """The mod-M backtrace's cross-tile chase (frames > one 128-frame
+    tile) is bitwise exact -- the only CPU case exercising
+    backtrace_posteriors12's frame-tile boundary"""
+    import torbi_tpu
+
+    assert torbi_tpu.BAND_KERNEL_LAYOUT == 'stitched'
+
+    rng = np.random.default_rng(47)
+    batch, frames, states, halfwidth = 2, 250, 120, 5  # buckets to 256
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames, 133], dtype=np.int32)  # one crossing mid-tile
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_unrolled_backtrace_multi_frame_tile():
+    """The unrolled backtrace kernel (BACKTRACE_LOOP=False) also chases
+    across frame-tile boundaries exactly"""
+    rng = np.random.default_rng(53)
+    obs, bf, trans, init = random_case(rng, 2, 140, 24, padded=True)
+    bf[1] = 131  # a crossing just above the first tile boundary
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+
+    old = torbi_tpu.BACKTRACE_LOOP
+    torbi_tpu.BACKTRACE_LOOP = False
+    try:
+        got = np.asarray(dispatch_decode(
+            jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+            jnp.asarray(init), backend='pallas'))
+    finally:
+        torbi_tpu.BACKTRACE_LOOP = old
     np.testing.assert_array_equal(got, expected)

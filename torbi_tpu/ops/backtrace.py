@@ -16,16 +16,17 @@ dynamic transition-row load per sequence plus a handful of (BT, S) VPU ops
 saves the 2 extra selects per candidate it would spend tracking argmax.
 
 Grid: (batch tiles, frame tiles) with the frame axis iterated in reverse via
-the index maps. The posterior array is passed twice: once as the (BT, FT, S)
-block for the current frame tile, and once as a small (BT, 8, S) block whose
-index map points at the 8-frame block ending at t0 - 1, so the chase can
-cross the frame-tile boundary without a separate boundary array or a second
-full read of the posterior stream. The chase index lives in a VMEM scratch
-carried across grid steps; the decoded column for position t0 + FT - 1 of
-each block is the index pending from the previously processed
-(later-in-time) block, seeded with argmax(posterior) so positions at or
-beyond batch_frames[b] - 1 hold the seed exactly as the reference
-broadcast-then-backtrace scheme (viterbi.cpp:218-225).
+the index maps. The chase crosses frame-tile boundaries by DEFERRING each
+boundary step one grid step: computing index[t0 - 1] needs posterior column
+t0 - 1, which lives in the next (earlier-in-time) block, so that step runs
+at the START of the next grid step from its own block's last column --
+no second operand window into the posterior stream, no boundary array,
+each posterior byte read exactly once. The chase index lives in a VMEM
+scratch carried across grid steps; the decoded column for position
+t0 + FT - 1 of each block is computed by that deferred step (or is the
+argmax(posterior) seed for the latest block, so positions at or beyond
+batch_frames[b] - 1 hold the seed exactly as the reference
+broadcast-then-backtrace scheme, viterbi.cpp:218-225).
 """
 import functools
 
@@ -76,8 +77,6 @@ def _pick_tiles(batch, frames, states_padded):
 
 def _backtrace_kernel(
         postseq_ref,   # (BT, FT, S) float32 block at (n, rev)
-        bnd_ref,       # (BT, 8, S) float32 block of post_seq holding frame
-                       # t0 - 1 at local sublane 7 (see in_specs)
         trans_ref,     # (S, S) float32, resident
         seed_ref,      # (BT, 1) int32 block at (n, 0)
         frames_ref,    # (BT, 1) int32 block at (n, 0)
@@ -100,10 +99,6 @@ def _backtrace_kernel(
     def _seed():
         idx_ref[...] = seed_ref[...]
 
-    # Position t0 + FT - 1 receives the index pending from the later block
-    # (or the seed for the last block: indices[frames - 1] = seed)
-    out_ref[:, frame_tile - 1:frame_tile] = idx_ref[...]
-
     def step(prev_post, t, k):
         """One chase step t (writes position t - 1): the predecessor is the
         lowest-index argmax of prev_post + transition[cur]."""
@@ -120,23 +115,24 @@ def _backtrace_kernel(
         if k >= 1:
             out_ref[:, k - 1:k] = new_idx
 
-    for k in reversed(range(frame_tile)):
-        if k >= 1:
-            step(postseq_ref[:, k - 1, :], t0 + k, k)
-        elif n_frame_tiles > 1:
-            # t = t0: the predecessor posterior t0 - 1 lives at sublane 7 of
-            # the previous 8-frame block of post_seq. Skipped entirely for
-            # the t0 = 0 block (no step t = 0), and statically absent in the
-            # single-tile case.
-            @pl.when(t0 > 0)
-            def _boundary():
-                step(bnd_ref[:, 7, :], t0, 0)
+    if n_frame_tiles > 1:
+        # Deferred cross-tile step (module docstring): the carry entering a
+        # non-latest block is index[t0 + FT]; chase it through this block's
+        # LAST column (frame t0 + FT - 1) before the in-block loop
+        @pl.when(nf > 0)
+        def _boundary():
+            step(postseq_ref[:, frame_tile - 1, :], t0 + frame_tile, 0)
+
+    # Position t0 + FT - 1: the deferred step's result (or the seed for the
+    # latest block: indices[frames - 1] = seed)
+    out_ref[:, frame_tile - 1:frame_tile] = idx_ref[...]
+
+    for k in reversed(range(1, frame_tile)):
+        step(postseq_ref[:, k - 1, :], t0 + k, k)
 
 
 def _backtrace_kernel_loop(
         postseq_ref,   # (BT, FT, S) float32 block at (n, rev)
-        bnd_ref,       # (BT, 8, S) float32 block of post_seq holding frame
-                       # t0 - 1 at local sublane 7 (see in_specs)
         trans_ref,     # (S, S) float32, resident
         seed_ref,      # (BT, 1) int32 block at (n, 0)
         frames_ref,    # (BT, 1) int32 block at (n, 0)
@@ -170,9 +166,6 @@ def _backtrace_kernel_loop(
     def _seed():
         idx_ref[...] = seed_ref[...]
 
-    # Position t0 + FT - 1 receives the index pending from the later block
-    col_ref[frame_tile - 1:frame_tile, :] = jnp.transpose(idx_ref[...])
-
     def step(prev_post, t, k):
         """One chase step t (stages position t - 1 at scratch sublane
         k - 1): predecessor = lowest-index argmax of prev_post + trans"""
@@ -187,6 +180,17 @@ def _backtrace_kernel_loop(
         idx_ref[...] = new_idx
         return new_idx
 
+    if n_frame_tiles > 1:
+        # Deferred cross-tile step (module docstring): the carry entering a
+        # non-latest block is index[t0 + FT]; chase it through this block's
+        # LAST column (frame t0 + FT - 1) before the in-block loop
+        @pl.when(nf > 0)
+        def _boundary():
+            step(postseq_ref[:, frame_tile - 1, :], t0 + frame_tile, 0)
+
+    # Position t0 + FT - 1: the deferred step's result (or the seed)
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.transpose(idx_ref[...])
+
     def body(i, carry):
         # i = 0 .. frame_tile - 2 maps to k = frame_tile - 1 .. 1
         k = frame_tile - 1 - i
@@ -195,13 +199,6 @@ def _backtrace_kernel_loop(
         return carry
 
     lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
-
-    if n_frame_tiles > 1:
-        # t = t0: the predecessor posterior t0 - 1 lives at sublane 7 of
-        # the previous 8-frame block of post_seq; skipped for t0 = 0
-        @pl.when(t0 > 0)
-        def _boundary():
-            step(bnd_ref[:, 7, :], t0, 0)
 
     out_ref[...] = jnp.transpose(col_ref[...])
 
@@ -224,17 +221,10 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
     def rev(t):
         return n_frame_tiles - 1 - t
 
-    # post_seq frame blocks of 8 rows; the one ending at t0 - 1 is block
-    # rev * (FT / 8) - 1, clamped for the t0 = 0 block where it is unused
-    bnd_blocks = frame_tile // 8
     in_specs = [
         pl.BlockSpec(
             (batch_tile, frame_tile, states_padded),
             lambda n, t: (n, rev(t), 0),
-            memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (batch_tile, 8, states_padded),
-            lambda n, t: (n, jnp.maximum(rev(t) * bnd_blocks - 1, 0), 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (states_padded, states_padded),
@@ -280,7 +270,6 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
         seed = jnp.argmax(posterior, axis=1).astype(jnp.int32)
         return call(
             post_seq,
-            post_seq,
             transition_padded,
             seed.reshape(batch, 1),
             batch_frames.astype(jnp.int32).reshape(batch, 1))
@@ -290,7 +279,6 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
 
 def _backtrace12_kernel_loop(
         postseq_ref,   # (M, BT, FT, 128) mod-M posterior block at (0,n,rev)
-        bnd_ref,       # (M, BT, 8, 128) block holding frame t0 - 1
         trans_ref,     # (S, S) float32: natural rows, mod-M-PERMUTED columns
         seed_ref,      # (BT, 1) int32 block at (n, 0) -- natural indices
         frames_ref,    # (BT, 1) int32 block at (n, 0)
@@ -328,8 +316,6 @@ def _backtrace12_kernel_loop(
     def _seed():
         idx_ref[...] = seed_ref[...]
 
-    col_ref[frame_tile - 1:frame_tile, :] = jnp.transpose(idx_ref[...])
-
     def assemble(k):
         """(BT, S) posterior column at local frame k, permuted order"""
         return jnp.concatenate(
@@ -347,6 +333,17 @@ def _backtrace12_kernel_loop(
         idx_ref[...] = new_idx
         return new_idx
 
+    if n_frame_tiles > 1:
+        # Deferred cross-tile step (module docstring): the carry entering a
+        # non-latest block is index[t0 + FT]; chase it through this block's
+        # LAST column (frame t0 + FT - 1) before the in-block loop
+        @pl.when(nf > 0)
+        def _boundary():
+            step(assemble(frame_tile - 1), t0 + frame_tile, 0)
+
+    # Position t0 + FT - 1: the deferred step's result (or the seed)
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.transpose(idx_ref[...])
+
     def body(i, carry):
         k = frame_tile - 1 - i
         new_idx = step(assemble(k - 1), t0 + k, k)
@@ -354,13 +351,6 @@ def _backtrace12_kernel_loop(
         return carry
 
     lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
-
-    if n_frame_tiles > 1:
-        @pl.when(t0 > 0)
-        def _boundary():
-            prev = jnp.concatenate(
-                [bnd_ref[r, :, 7, :] for r in range(M)], axis=1)
-            step(prev, t0, 0)
 
     out_ref[...] = jnp.transpose(col_ref[...])
 
@@ -381,16 +371,10 @@ def _build_backtrace12(batch, frames, states_padded, interpret=False):
     def rev(t):
         return n_frame_tiles - 1 - t
 
-    bnd_blocks = frame_tile // 8
     in_specs = [
         pl.BlockSpec(
             (M, batch_tile, frame_tile, 128),
             lambda n, t: (0, n, rev(t), 0),
-            memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (M, batch_tile, 8, 128),
-            lambda n, t: (
-                0, n, jnp.maximum(rev(t) * bnd_blocks - 1, 0), 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (states_padded, states_padded),
@@ -440,7 +424,6 @@ def _build_backtrace12(batch, frames, states_padded, interpret=False):
             jnp.where(posterior12 == mx, nat, _INT_MAX),
             axis=(0, 2)).astype(jnp.int32)
         return call(
-            post_seq12,
             post_seq12,
             trans_perm,
             seed.reshape(batch, 1),
