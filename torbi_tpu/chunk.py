@@ -19,20 +19,10 @@ def chunk(
     min_chunk_size: int = None,
     entropy_threshold: float = None,
 ) -> List:
-    """Chunk observations based on points of low entropy
-
-    Arguments
-        observation
-            Time-varying categorical distribution in log space
-            shape=(frames, states)
-        min_chunk_size
-            Minimum chunk size in frames
-        entropy_threshold
-            Threshold for entropy to allow splitting
-
-    Returns
-        chunks
-            List of chunked sequence data
+    """Split one (frames, states) log-space observation into a list of
+    sub-arrays at low-entropy points (see ``split``), each at least
+    ``min_chunk_size`` frames except possibly the last. Same split
+    boundaries as the reference chunker (/root/reference/torbi/chunk.py).
     """
     observation = np.asarray(observation)
     start = 0
