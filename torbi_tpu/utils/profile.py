@@ -227,25 +227,57 @@ def time_stages(observation, batch_frames, transition, initial, iters=8,
                 band_matrix, states_p)
         band_matrix = jax.block_until_ready(band_matrix)
 
-    def forward(obs=observation):
-        if band is not None:
+    # Production stitched path: when the caller supplies a PACKED
+    # pipeline observation and the stitched band kernel applies, the
+    # standalone stages measure exactly what the staged pipeline runs --
+    # packed forward emitting the raw M-major stream, and the mod-M
+    # backtrace consuming it with the column-permuted transition
+    # (ops/dispatch._prepare_padded)
+    import torbi_tpu
+    layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
+    packed12 = (
+        band is not None and band[1] > 0 and layout == 'stitched'
+        and pipeline_observation is not None
+        and pipeline_observation.ndim == 4)
+    if packed12:
+        from ..ops.backtrace import backtrace_posteriors12
+        from ..ops.dispatch import _prepare_padded
+
+        trans_perm, _, _ = _prepare_padded(
+            transition, initial, states, states_p, band)
+
+        def forward(obs=pipeline_observation):
             return band_ops.viterbi_forward_band(
                 obs, bf, trans_p, init_p, band, interpret=interpret,
-                band_matrix=band_matrix)
-        return viterbi_forward_pallas(
-            obs, bf, trans_p, init_p, interpret=interpret)
+                band_matrix=band_matrix, raw12=True, packed=True)
+
+        fetch = lambda r: r[1][0, 0, 0]  # noqa: E731 - posterior12 scalar
+    else:
+        def forward(obs=observation):
+            if band is not None:
+                return band_ops.viterbi_forward_band(
+                    obs, bf, trans_p, init_p, band, interpret=interpret,
+                    band_matrix=band_matrix)
+            return viterbi_forward_pallas(
+                obs, bf, trans_p, init_p, interpret=interpret)
+
+        fetch = lambda r: r[1][0, 0]  # noqa: E731
 
     _log('stage: forward kernel')
-    forward_ms = time_submissions(
-        forward, lambda r: r[1][0, 0], iters) * 1e3
+    forward_ms = time_submissions(forward, fetch, iters) * 1e3
 
     # Backtrace over a fixed forward result
     _log('stage: backtrace kernel')
     post_seq, posterior = jax.block_until_ready(forward())
 
-    def backtrace():
-        return backtrace_posteriors(
-            post_seq, trans_p, posterior, bf, interpret=interpret)
+    if packed12:
+        def backtrace():
+            return backtrace_posteriors12(
+                post_seq, trans_perm, posterior, bf, interpret=interpret)
+    else:
+        def backtrace():
+            return backtrace_posteriors(
+                post_seq, trans_p, posterior, bf, interpret=interpret)
 
     backtrace_ms = time_submissions(
         backtrace, lambda r: r[0, 0], iters) * 1e3
