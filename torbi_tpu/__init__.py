@@ -83,6 +83,7 @@ from .core import (
     save_masked,
 )
 from .chunk import chunk
+from .ops.dispatch import pack_observation
 from . import data
 from . import evaluate
 from . import models
