@@ -495,3 +495,35 @@ def test_unrolled_backtrace_multi_frame_tile():
     finally:
         torbi_tpu.BACKTRACE_LOOP = old
     np.testing.assert_array_equal(got, expected)
+
+
+def test_memory_budget_splits_packed_batches(monkeypatch):
+    """The HBM guard splits PACKED (mod-M) batches on their batch axis 1,
+    bitwise equal to the unsplit decode"""
+    from torbi_tpu.ops.dispatch import pack_observation, padded_states
+
+    rng = np.random.default_rng(71)
+    batch, frames, states, halfwidth = 12, 10, 240, 4
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    trans = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = rng.integers(1, frames + 1, size=batch).astype(np.int32)
+
+    states_p = padded_states(states)
+    padded = np.full((batch, frames, states_p), -np.inf, np.float32)
+    padded[..., :states] = obs
+    packed = pack_observation(padded)
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    monkeypatch.setattr(torbi_tpu, 'DECODE_MEMORY_BUDGET', 1)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
