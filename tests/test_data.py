@@ -271,3 +271,19 @@ def test_from_files_to_files_packed_chunked(tmp_path):
         torbi_tpu.MIN_CHUNK_SIZE = old_chunk
     decoded = io.load(output_file)
     np.testing.assert_array_equal(decoded, expected)
+
+
+def test_pack_observation_jax_input_matches_numpy():
+    """pack_observation handles live jax arrays (device-side packing for
+    callers that already transferred) identically to the numpy path"""
+    import jax.numpy as jnp
+
+    from torbi_tpu import pack_observation
+
+    rng = np.random.default_rng(29)
+    natural = rng.normal(size=(3, 5, 256)).astype(np.float32)
+    via_numpy = pack_observation(natural)
+    via_jax = np.asarray(pack_observation(jnp.asarray(natural)))
+    np.testing.assert_array_equal(via_jax, via_numpy)
+    with pytest.raises(ValueError):
+        pack_observation(natural[..., :200])  # not lane-padded
