@@ -527,3 +527,36 @@ def test_memory_budget_splits_packed_batches(monkeypatch):
         jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize('layout', ['rolled', 'stitched'])
+def test_batch1_padding_rows_elided(monkeypatch, layout):
+    """A batch-1 decode pads to the 8-row kernel tile; the backtrace build
+    declares the 7 padding rows statically (real_batch=1) and skips their
+    per-step transition-row loads. The REAL row must stay bitwise exact on
+    every kernel family (band rolled/stitched and the dense kernel)."""
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', layout,
+                        raising=False)
+
+    rng = np.random.default_rng(83)
+    frames, states, halfwidth = 137, 160, 7  # frames bucket above raw
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(1, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    band = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans_band = np.log(
+        (band / band.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    trans_dense = np.log(
+        rng.dirichlet(np.ones(states), size=states).astype(np.float32)
+        + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames], dtype=np.int32)
+
+    for trans in (trans_band, trans_dense):
+        expected = oracle.viterbi_numpy(obs, bf, trans, init)
+        got = np.asarray(dispatch_decode(
+            jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+            jnp.asarray(init), backend='pallas', finite_observation=True))
+        np.testing.assert_array_equal(got, expected)

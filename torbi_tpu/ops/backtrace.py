@@ -87,7 +87,8 @@ def _backtrace_kernel(
         states_padded,
         batch_tile,
         frame_tile,
-        n_frame_tiles):
+        n_frame_tiles,
+        load_rows=None):
     nf = pl.program_id(1)
     t0 = (n_frame_tiles - 1 - nf) * frame_tile  # block start time
 
@@ -102,7 +103,7 @@ def _backtrace_kernel(
     def step(prev_post, t, k):
         """One chase step t (writes position t - 1): the predecessor is the
         lowest-index argmax of prev_post + transition[cur]."""
-        for b in range(batch_tile):
+        for b in range(load_rows or batch_tile):
             ib = idx_ref[b, 0]
             rows_ref[b:b + 1, :] = trans_ref[pl.ds(ib, 1), :]
         v = prev_post + rows_ref[...]
@@ -144,7 +145,8 @@ def _backtrace_kernel_loop(
         states_padded,
         batch_tile,
         frame_tile,
-        n_frame_tiles):
+        n_frame_tiles,
+        load_rows=None):
     """Chase kernel with a fori_loop over the frame axis.
 
     Identical chase math to the unrolled kernel, but the 128-step frame loop
@@ -169,7 +171,7 @@ def _backtrace_kernel_loop(
     def step(prev_post, t, k):
         """One chase step t (stages position t - 1 at scratch sublane
         k - 1): predecessor = lowest-index argmax of prev_post + trans"""
-        for b in range(batch_tile):
+        for b in range(load_rows or batch_tile):
             ib = idx_ref[b, 0]
             rows_ref[b:b + 1, :] = trans_ref[pl.ds(ib, 1), :]
         v = prev_post + rows_ref[...]
@@ -203,8 +205,21 @@ def _backtrace_kernel_loop(
     out_ref[...] = jnp.transpose(col_ref[...])
 
 
+def _load_rows(batch, batch_tile, real_batch):
+    """Static chase-load row count: when the grid has a single batch tile
+    and the caller declares fewer REAL rows (a batch-1 decode padded to the
+    8-row tile), the per-step dynamic transition-row loads for the padding
+    rows are elided at trace time -- they dominate the serial chase cost.
+    Padded rows' outputs become unspecified; dispatch slices them off."""
+    if (real_batch is not None and batch == batch_tile
+            and 0 < real_batch < batch_tile):
+        return real_batch
+    return None
+
+
 @functools.lru_cache(maxsize=64)
-def _build_backtrace(batch, frames, states_padded, interpret=False):
+def _build_backtrace(batch, frames, states_padded, interpret=False,
+                     real_batch=None):
     import torbi_tpu
 
     batch_tile, frame_tile = _pick_tiles(batch, frames, states_padded)
@@ -215,7 +230,8 @@ def _build_backtrace(batch, frames, states_padded, interpret=False):
         states_padded=states_padded,
         batch_tile=batch_tile,
         frame_tile=frame_tile,
-        n_frame_tiles=n_frame_tiles)
+        n_frame_tiles=n_frame_tiles,
+        load_rows=_load_rows(batch, batch_tile, real_batch))
     grid = (batch // batch_tile, n_frame_tiles)
 
     def rev(t):
@@ -290,7 +306,8 @@ def _backtrace12_kernel_loop(
         states_padded,
         batch_tile,
         frame_tile,
-        n_frame_tiles):
+        n_frame_tiles,
+        load_rows=None):
     """Backtrace consuming the stitched forward's M-major posterior stream
     DIRECTLY (no relayout copy between the kernels -- a measured ~10 ms
     per headline call).
@@ -322,7 +339,7 @@ def _backtrace12_kernel_loop(
             [postseq_ref[r, :, k, :] for r in range(M)], axis=1)
 
     def step(prev_post, t, k):
-        for b in range(batch_tile):
+        for b in range(load_rows or batch_tile):
             ib = idx_ref[b, 0]
             rows_ref[b:b + 1, :] = trans_ref[pl.ds(ib, 1), :]
         v = prev_post + rows_ref[...]
@@ -356,7 +373,8 @@ def _backtrace12_kernel_loop(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_backtrace12(batch, frames, states_padded, interpret=False):
+def _build_backtrace12(batch, frames, states_padded, interpret=False,
+                       real_batch=None):
     batch_tile, frame_tile = _pick_tiles(batch, frames, states_padded)
     n_frame_tiles = frames // frame_tile
     M = states_padded // 128
@@ -365,7 +383,8 @@ def _build_backtrace12(batch, frames, states_padded, interpret=False):
         states_padded=states_padded,
         batch_tile=batch_tile,
         frame_tile=frame_tile,
-        n_frame_tiles=n_frame_tiles)
+        n_frame_tiles=n_frame_tiles,
+        load_rows=_load_rows(batch, batch_tile, real_batch))
     grid = (batch // batch_tile, n_frame_tiles)
 
     def rev(t):
@@ -433,7 +452,7 @@ def _build_backtrace12(batch, frames, states_padded, interpret=False):
 
 
 def backtrace_posteriors12(post_seq12, trans_perm, posterior12,
-                           batch_frames, interpret=False):
+                           batch_frames, interpret=False, real_batch=None):
     """Backtrace the stitched kernel's M-major posterior stream.
 
     post_seq12: (M, batch, frames, 128) float32 (mod-M layout)
@@ -441,27 +460,35 @@ def backtrace_posteriors12(post_seq12, trans_perm, posterior12,
         the assembled-lane order s' = r*128 + l (natural M*l + r)
     posterior12: (M, batch, 128) float32 final posterior
     batch_frames: (batch,) int32
+    real_batch: rows beyond this count are declared padding -- their
+        decoded output is UNSPECIFIED and the serial chase skips their
+        per-step transition-row loads (see _load_rows)
 
     Returns (batch, frames) int32 decoded NATURAL state indices, bitwise
     identical to backtrace_posteriors on the natural-layout stream.
     """
     _, batch, frames, _ = post_seq12.shape
     states_padded = post_seq12.shape[0] * 128
-    bt = _build_backtrace12(batch, frames, states_padded, interpret)
+    bt = _build_backtrace12(batch, frames, states_padded, interpret,
+                            real_batch)
     return bt(post_seq12, trans_perm, posterior12, batch_frames)
 
 
 def backtrace_posteriors(post_seq, transition_padded, posterior,
-                         batch_frames, interpret=False):
+                         batch_frames, interpret=False, real_batch=None):
     """Backtrace stored posterior columns into decoded state indices.
 
     post_seq: (batch, frames, states_padded) float32 from the forward kernel
     transition_padded: (states_padded, states_padded) float32
     posterior: (batch, states_padded) float32 final posterior
     batch_frames: (batch,) int32
+    real_batch: rows beyond this count are declared padding -- their
+        decoded output is UNSPECIFIED and the serial chase skips their
+        per-step transition-row loads (see _load_rows)
 
     Returns (batch, frames) int32 decoded indices.
     """
     batch, frames, states_padded = post_seq.shape
-    bt = _build_backtrace(batch, frames, states_padded, interpret)
+    bt = _build_backtrace(batch, frames, states_padded, interpret,
+                          real_batch)
     return bt(post_seq, transition_padded, posterior, batch_frames)

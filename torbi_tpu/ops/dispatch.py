@@ -235,7 +235,7 @@ def _unpack_packed_fn():
 @functools.lru_cache(maxsize=128)
 def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                   interpret, log_input, apply_epsilon, mesh_key, config_key,
-                  packed=False):
+                  packed=False, single=False):
     """Stage the decode pipeline for one (bucketed batch, bucketed frames)
     shape as a single jitted function.
 
@@ -254,6 +254,11 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
     """
     del config_key  # only disambiguates the cache entry
     states_p = _round_up(states, 128)
+    # A batch-1 decode pads to the 8-row kernel tile; declaring the padding
+    # rows statically lets the serial backtrace chase skip their per-step
+    # transition-row loads (the dominant chase cost). Gated to batch == 1
+    # so shape buckets stay shared across stray batch sizes.
+    real_batch = 1 if single else None
 
     # The banded kernel folds the probability->log conversion and epsilon
     # stabilization into its observation stream (in-register, free) -- the
@@ -309,7 +314,7 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                     band_matrix=band_matrix, raw12=True, packed=packed)
                 return backtrace_posteriors12(
                     post12, trans_p, posterior12, batch_frames,
-                    interpret=interpret)
+                    interpret=interpret, real_batch=real_batch)
             post_seq, posterior = band_ops.viterbi_forward_band(
                 obs, batch_frames, trans_p, init_p, band,
                 interpret=interpret,
@@ -318,7 +323,7 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                 band_matrix=band_matrix)
             return backtrace_posteriors(
                 post_seq, trans_p, posterior, batch_frames,
-                interpret=interpret)
+                interpret=interpret, real_batch=real_batch)
         n_args = 5
     else:
         def pipeline(observation, batch_frames, trans_p, init_p):
@@ -327,7 +332,7 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                 obs, batch_frames, trans_p, init_p, interpret=interpret)
             return backtrace_posteriors(
                 post_seq, trans_p, posterior, batch_frames,
-                interpret=interpret)
+                interpret=interpret, real_batch=real_batch)
         n_args = 4
 
     if mesh_key is None:
@@ -576,7 +581,9 @@ def decode(observation, batch_frames, transition, initial, backend=None,
 
     fn = _build_decode(
         backend, batch_p, frames_p, states, states_in, band, interpret,
-        log_input, apply_epsilon, mesh_key, _config_key(), packed)
+        log_input, apply_epsilon, mesh_key, _config_key(), packed,
+        single=(batch == 1 and batch_p > 1
+                and backend not in ('xla', 'lse')))
     if backend in ('xla', 'lse'):
         indices = fn(obs, bf, transition, initial)
     else:
