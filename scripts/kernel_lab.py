@@ -763,6 +763,224 @@ def check_mod12(args):
     return match and match_k
 
 
+def build_spread_plan(states, width, band_host):
+    """Stitched plan for the batch-1 'spread' (replicated-offsets) kernel.
+
+    At batch 1 the stitched layout's 8 batch sublane slots idle; spread
+    fills slot g with the posterior shifted by candidate offset g, so ONE
+    masked add+max covers 8 band offsets at once (a chunk d = 8q..8q+7).
+    Shifting the whole replicated array by 8q in state space is a free
+    sublane rename -- (M*kk - 8q)*8 is congruent to -64q mod M*8*... mod
+    rows for EITHER row-carry kk, so each chunk needs exactly one rename --
+    plus the usual per-row lane-carry split folded into stitched matrices.
+
+    Returns (keys, stitched, rebuild):
+      keys: sorted (lane-rotate alpha, sublane-rename amt) chunk pairs
+      stitched: (P, rows, 128) band matrices, cell (r*8+g, l) holding the
+        band weight of candidate d = 8*q(key, r) + g at output state
+        j = M*l + r (-inf where unowned or d >= width)
+      rebuild: per (slot g, row-carry kk) recipe to rebuild the replicated
+        array from the new posterior: (g, sublane rename, lane rotate,
+        first row, last row)
+    """
+    M = states // 128
+    rows = M * 8
+    shift0 = width // 2
+    pairs = {}
+    owner = {}
+    for q in range((width + 7) // 8):
+        amt = (-64 * q) % rows
+        for r_out in range(M):
+            kk = (r_out + 8 * q) // M
+            alpha = (-kk) % 128
+            key = (alpha, amt)
+            mat = pairs.setdefault(
+                key, np.full((rows, 128), NEG_INF, np.float32))
+            assert owner.setdefault((key, r_out), q) == q, (
+                'spread stitch collision')
+            jcols = np.arange(128) * M + r_out
+            for g in range(8):
+                d = 8 * q + g
+                if d < width:
+                    mat[r_out * 8 + g] = band_host[d, jcols]
+    keys = sorted(pairs)
+    stitched = np.stack([pairs[key] for key in keys])
+
+    # Rebuild: slot g of the replicated array holds post[dest + g - shift0]
+    # (candidate d = g's source). From a replicated posterior P_rep, slot g
+    # is one free sublane rename (-8*(g - shift0) mod rows: source slot is
+    # also g) plus a lane rotate for the row carry, split over contiguous
+    # row ranges exactly like the chunk pairs.
+    rebuild = []
+    for g in range(8):
+        e = g - shift0
+        amt_g = (-8 * e) % rows
+        by_kk = {}
+        for r_out in range(M):
+            by_kk.setdefault((r_out + e) // M, []).append(r_out)
+        for kk, rlist in sorted(by_kk.items()):
+            rebuild.append(
+                (g, amt_g, (-kk) % 128, min(rlist), max(rlist)))
+    return keys, stitched, rebuild
+
+
+def build_kernel_spread(frames, states, width, band_host, n_acc=4):
+    """Batch-1 replicated-offsets stitched kernel (see build_spread_plan).
+
+    Per frame: rebuild the 8 shifted posterior copies (~3 lane rotates +
+    free renames + masked selects), ~2 stitched pairs per 8-offset chunk
+    (one masked add+max each, 1/8th the stitched kernel's ALU bill), and a
+    3-step group-wrapped rotation all-reduce over the slots. Bitwise exact:
+    the candidate value set is identical and fp max is order-independent.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = states // 128
+    rows = M * 8
+    keys, stitched, rebuild = build_spread_plan(states, width, band_host)
+    alphas = sorted({alpha for alpha, _ in keys})
+    reb_alphas = sorted({a for (_, _, a, _, _) in rebuild})
+
+    def kernel(obs_ref, band_ref, post_ref):
+        tb = pl.program_id(0)
+        sub = lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        g_of = sub % 8
+        r_of = sub // 8
+
+        def rebuild_A(prep):
+            rots = {a: (prep if a == 0 else pltpu.roll(prep, a, 1))
+                    for a in reb_alphas}
+            A = jnp.full((rows, 128), NEG_INF, jnp.float32)
+            for (g, amt_g, a, r_lo, r_hi) in rebuild:
+                z = rots[a]
+                if amt_g:
+                    z = pltpu.roll(z, amt_g, 0)
+                mask = (g_of == g) & (r_of >= r_lo) & (r_of <= r_hi)
+                A = jnp.where(mask, z, A)
+            return A
+
+        for k in range(FRAME_TILE):
+            t = tb * FRAME_TILE + k
+
+            @pl.when(t == 0)
+            def _init(k=k):
+                post_ref[...] = obs_ref[:, k, :]
+
+            @pl.when(t > 0)
+            def _step(k=k):
+                spread = rebuild_A(post_ref[...])
+                rotated = {
+                    alpha: (spread if alpha == 0
+                            else pltpu.roll(spread, alpha, 1))
+                    for alpha in alphas}
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for i, (alpha, amt) in enumerate(keys):
+                    v = rotated[alpha]
+                    if amt:
+                        v = pltpu.roll(v, amt, 0)
+                    accs[i % n_acc] = jnp.maximum(
+                        accs[i % n_acc], v + band_ref[i])
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                # Group-wrapped rotation all-reduce over the 8 slots:
+                # after steps 1, 2, 4 every slot holds its group's max
+                for delta in (1, 2, 4):
+                    y = jnp.where(
+                        g_of < 8 - delta,
+                        pltpu.roll(m, (-delta) % rows, 0),
+                        pltpu.roll(m, 8 - delta, 0))
+                    m = jnp.maximum(m, y)
+                post_ref[...] = obs_ref[:, k, :] + m
+
+    grid = (frames // FRAME_TILE,)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (rows, FRAME_TILE, 128),
+                lambda t: (0, t, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (len(keys), rows, 128),
+                lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 128),
+            lambda t: (0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=INTERPRET,
+    )
+    import jax.numpy as jnp2
+    stitched_dev = jnp2.asarray(stitched)
+    return jax.jit(lambda obs, band: call(obs, stitched_dev)), len(keys)
+
+
+def spread_obs(obs_seq, states):
+    """(frames, states) -> (M*8, frames, 128): the mod-M observation
+    replicated identically over the 8 sublane slots (replication, not
+    shifting -- the posterior add happens after the slot all-reduce)"""
+    M = states // 128
+    frames = obs_seq.shape[0]
+    arr = obs_seq.reshape(frames, 128, M).transpose(2, 0, 1)  # (M, T, 128)
+    rep = np.broadcast_to(arr[:, None], (M, 8, frames, 128))
+    return np.ascontiguousarray(rep.reshape(M * 8, frames, 128))
+
+
+def unspread_posterior(post, states):
+    """(M*8, 128) replicated posterior -> (states,) natural (slot g=0)"""
+    M = states // 128
+    arr = post.reshape(M, 8, 128)[:, 0, :]     # (M, 128)
+    return np.ascontiguousarray(arr.transpose(1, 0).reshape(states))
+
+
+def check_spread(args):
+    """Bitwise-compare the batch-1 spread kernel against 'full' (row 0 of
+    an 8-row batch), including the replication invariant of every slot."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal(
+        (8, args.frames, args.states)).astype(np.float32)
+    width_padded = ((args.width + 7) // 8) * 8
+    band = rng.standard_normal(
+        (width_padded, args.states)).astype(np.float32)
+    band[args.width:] = NEG_INF
+
+    full = build_kernel('full', 8, args.frames, args.states, args.width)
+    ref = np.asarray(full(jnp.asarray(obs), jnp.asarray(band)))[0]
+
+    fn, n_pairs = build_kernel_spread(
+        args.frames, args.states, args.width, band)
+    out = np.asarray(fn(
+        jnp.asarray(spread_obs(obs[0], args.states)), None))
+    # Every slot must hold the identical replicated posterior
+    slots = out.reshape(args.states // 128, 8, 128)
+    replicated = bool((slots == slots[:, :1]).all())
+    got = unspread_posterior(out, args.states)
+    match = np.array_equal(ref, got)
+    print(json.dumps(
+        {'spread_bitwise_match': bool(match),
+         'spread_slots_replicated': replicated,
+         'spread_pairs': n_pairs}))
+    if not match:
+        bad = np.argwhere(ref != got)
+        print('first mismatches:', bad[:5].tolist())
+        print('ref', ref[tuple(bad[0])], 'got', got[tuple(bad[0])])
+    return match and replicated
+
+
 def tilt_obs(obs, n_vregs):
     """(batch, frames, states) -> (batch/8, n_vregs*8, frames, 128)"""
     batch, frames, states = obs.shape
@@ -835,6 +1053,9 @@ def main():
     parser.add_argument(
         '--check-mod12', action='store_true',
         help='bitwise-compare the stitched mod-12 kernel vs full and exit')
+    parser.add_argument(
+        '--check-spread', action='store_true',
+        help='bitwise-compare the batch-1 spread kernel vs full and exit')
     args = parser.parse_args()
 
     import jax
@@ -847,6 +1068,8 @@ def main():
         sys.exit(0 if check_tilted(args) else 1)
     if args.check_mod12:
         sys.exit(0 if check_mod12(args) else 1)
+    if args.check_spread:
+        sys.exit(0 if check_spread(args) else 1)
 
     rng = np.random.default_rng(0)
     obs_host = rng.standard_normal(
@@ -894,6 +1117,16 @@ def main():
             print(json.dumps({'mod12_stitched_pairs': n_pairs}),
                   flush=True)
             run_obs = jnp.asarray(mod12_obs(obs_host, args.states))
+            run_band = band
+        elif variant == 'spread':
+            # Batch-1 variant: decodes ONE sequence (obs row 0); compare
+            # its ms against other variants at --batch 8 divided by 8 --
+            # or run both at their natural batch-1 shapes
+            fn, n_pairs = build_kernel_spread(
+                args.frames, args.states, args.width, band_host, n_acc)
+            print(json.dumps({'spread_stitched_pairs': n_pairs}),
+                  flush=True)
+            run_obs = jnp.asarray(spread_obs(obs_host[0], args.states))
             run_band = band
         elif variant == 'mod12k':
             fn = build_kernel_mod12k(
