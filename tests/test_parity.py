@@ -560,3 +560,72 @@ def test_batch1_padding_rows_elided(monkeypatch, layout):
             jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
             jnp.asarray(init), backend='pallas', finite_observation=True))
         np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize('with_floor', [False, True])
+def test_spread_batch1_kernel_matches_oracle(monkeypatch, with_floor):
+    """BAND_BATCH1_SPREAD routes batch-1 banded decodes through the
+    replicated-offsets kernel (ops/band.py::spread_plan); decoded paths
+    stay bitwise oracle-exact with the folded epsilon conversion, padded
+    frames, both band exteriors, and packed (mod-M) observations."""
+    from torbi_tpu.ops import band as band_ops
+    from torbi_tpu.ops.dispatch import pack_observation, padded_states
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'stitched',
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', True,
+                        raising=False)
+    calls = []
+    orig = band_ops._build_band_forward_spread
+
+    def spy(*args, **kwargs):
+        calls.append(args)
+        return orig(*args, **kwargs)
+    monkeypatch.setattr(band_ops, '_build_band_forward_spread', spy)
+    band_ops._build_band_forward.cache_clear()
+
+    rng = np.random.default_rng(91)
+    frames, states, halfwidth = 61, 384, 9  # M=3, frames bucket to 64
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(1, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    band = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    band = (band / band.sum(axis=1, keepdims=True)).astype(np.float32)
+    if with_floor:
+        trans = np.log(band + tiny)  # constant log(tiny) floor exterior
+    else:
+        trans = np.log(band).astype(np.float32)  # -inf exterior
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames], dtype=np.int32)
+
+    detected = band_ops.detect_band(jnp.asarray(trans))
+    assert detected is not None and detected[1] > 0
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+    assert calls, 'spread kernel did not engage'
+
+    # Packed (mod-M) observation through the same spread path
+    states_p = padded_states(states)
+    padded = np.full((1, frames, states_p), -np.inf, np.float32)
+    padded[..., :states] = obs
+    packed = pack_observation(padded)
+    got_packed = np.asarray(dispatch_decode(
+        jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got_packed, expected)
+
+    # Folded epsilon conversion from probability space (CLI pipeline)
+    probs = np.exp(obs)
+    obs_eps = np.log(np.exp(np.log(probs)) + tiny)
+    expected_eps = oracle.viterbi_numpy(obs_eps, bf, trans, init)
+    got_eps = np.asarray(dispatch_decode(
+        jnp.asarray(probs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', log_input=False,
+        apply_epsilon=True))
+    np.testing.assert_array_equal(got_eps, expected_eps)

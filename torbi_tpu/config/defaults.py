@@ -119,6 +119,16 @@ BAND_KERNEL_LAYOUT = 'stitched'
 # never worth the compile time there).
 BACKTRACE_LOOP = True
 
+# Batch-1 banded forward flavor: True routes single-sequence decodes
+# (stitched layout, width > 0) through the 'spread' replicated-offsets
+# kernel (ops/band.py::spread_plan) -- the 8 batch sublane slots that idle
+# at batch 1 instead hold 8 band-offset-shifted posterior copies, cutting
+# the stitched ALU bill ~5x (36 vs ~187 pairs at the pitch shape) for ~19
+# extra lane rotates per frame (rebuild + slot all-reduce). Bitwise exact
+# (tests/test_parity.py). Default False until measured on hardware; flip
+# after scripts/kernel_lab.py --variants spread shows it pays on v5e.
+BAND_BATCH1_SPREAD = False
+
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
 # (640 and 1536 catch sequences just over a power of two -- e.g. entropy

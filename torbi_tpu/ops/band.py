@@ -625,7 +625,8 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                         external_band_matrix=False,
                         layout='rolled',
                         raw12=False,
-                        packed=False):
+                        packed=False,
+                        spread=False):
     width_padded = max(_round_up(width, 8), 8)
     # Callers may pass any band tuple; the kernel body needs at least one
     # candidate source per step (width == 0 is only meaningful with the
@@ -642,6 +643,13 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
     while frames % frame_tile:
         frame_tile //= 2
     assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
+    if spread and width > 0:
+        # Batch-1 replicated-offsets kernel (spread_plan); emits the
+        # stitched raw12 stream with all 8 rows replicas of row 0
+        return _build_band_forward_spread(
+            batch, frames, states_in, states_padded, lo, width, floor,
+            interpret, log_input, apply_epsilon, frame_tile,
+            external_band_matrix, packed=packed)
     if layout == 'stitched' and width > 0:
         return _build_band_forward_stitched(
             batch, frames, states_in, states_padded, lo, width, floor,
@@ -752,6 +760,210 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
                 batch_frames.astype(jnp.int32))
 
     return jax.jit(forward)
+
+
+def spread_plan(states_padded, lo, width):
+    """Static structure of the batch-1 'spread' (replicated-offsets)
+    decomposition.
+
+    At batch 1 the stitched layout's 8 batch sublane slots idle; spread
+    fills slot g with the posterior shifted by band offset g (source
+    state dest + lo + g at cell (r*8+g, lane)), so ONE masked add + max
+    covers a whole 8-offset chunk d = 8q..8q+7. Shifting the replicated
+    array by 8q in state space needs a single free sublane rename --
+    (M*kk - 8q)*8 is congruent to -64q mod M*8 for EITHER row carry kk --
+    plus the usual per-row lane-rotate split folded into stitched
+    matrices: ~width/8 chunks x ~2 pairs instead of ~width + M pairs.
+    Measured-exactness note: fp max is order-independent, so only
+    coverage uniqueness matters (asserted).
+
+    Returns (keys, pairs, rebuild):
+      keys: sorted (lane-rotate alpha, sublane-rename amt) chunk pairs
+      pairs: per key {destination row r: chunk q}
+      rebuild: per (slot g, row-carry kk): (g, sublane rename amt,
+        lane-rotate alpha, first row, last row) -- the recipe to rebuild
+        the replicated array from a slot-replicated posterior
+    """
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+    pairs = {}
+    for q in range((width + 7) // 8):
+        amt = (-8 * BATCH_TILE * q) % rows
+        for r in range(M):
+            kk = (r + 8 * q) // M
+            alpha = (-kk) % 128
+            prev = pairs.setdefault((alpha, amt), {}).setdefault(r, q)
+            assert prev == q, 'spread stitch collision'
+    rebuild = []
+    for g in range(BATCH_TILE):
+        e = g + lo
+        amt_g = (-BATCH_TILE * e) % rows
+        by_kk = {}
+        for r in range(M):
+            by_kk.setdefault((r + e) // M, []).append(r)
+        for kk, rlist in sorted(by_kk.items()):
+            rebuild.append((g, amt_g, (-kk) % 128, min(rlist), max(rlist)))
+    return sorted(pairs), pairs, rebuild
+
+
+@functools.lru_cache(maxsize=16)
+def _spread_plan_indices(states_padded, lo, width):
+    """Numpy gather indices for building spread band matrices."""
+    import numpy as np
+
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+    keys, pairs, _ = spread_plan(states_padded, lo, width)
+    idx_d = np.zeros((len(keys), rows), np.int32)
+    mask = np.zeros((len(keys), rows), bool)
+    for i, key in enumerate(keys):
+        for r, q in pairs[key].items():
+            for g in range(BATCH_TILE):
+                d = 8 * q + g
+                if d < width:
+                    idx_d[i, r * BATCH_TILE + g] = d
+                    mask[i, r * BATCH_TILE + g] = True
+    col = (
+        np.arange(128)[None, :] * M
+        + (np.arange(rows) // BATCH_TILE)[:, None]).astype(np.int32)
+    return keys, idx_d, mask, col
+
+
+def build_band_matrix_spread(band_matrix, states_padded, lo, width):
+    """(width_padded, S) band matrix -> (P, M*8, 128) spread-stitched
+    matrices for the batch-1 kernel (traced, jit-safe; see spread_plan)."""
+    _, idx_d, mask, col = _spread_plan_indices(states_padded, lo, width)
+    gathered = band_matrix[
+        jnp.asarray(idx_d)[:, :, None], jnp.asarray(col)[None, :, :]]
+    return jnp.where(jnp.asarray(mask)[:, :, None], gathered, NEG_INF)
+
+
+def _band_kernel_spread(
+        obs_ref,       # (M, 1, ft, 128) mod-M obs block, batch row 0 only
+        band_ref,      # (P, R, 128) spread-stitched matrices, resident
+        init_ref,      # (R, 128) slot-replicated mod-M initial, resident
+        frames_ref,    # (8, 1) int32 at (0, 0); only row 0 is real
+        postseq_ref,   # out: (M, 8, ft, 128) REPLICATED posterior columns
+        post_ref,      # out: (M, 8, 128) replicated carry
+        *,
+        states_padded,
+        lo,
+        width,
+        floor,
+        log_input=True,
+        apply_epsilon=False,
+        frame_tile=FRAME_TILE):
+    """Batch-1 banded forward with the 8 sublane slots holding 8
+    band-offset-shifted posterior copies (layout math: spread_plan).
+
+    The posterior stream it emits is the stitched kernel's (M, batch=8,
+    frames, 128) layout with all 8 batch rows REPLICAS of the one real
+    sequence -- backtrace_posteriors12 consumes it unchanged (dispatch
+    passes real_batch=1 so the chase loads only row 0). Bitwise exact:
+    the candidate set per destination is identical to the stitched
+    kernel's and fp max is order-independent.
+    """
+    tb = pl.program_id(0)
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+
+    keys, _, rebuild = spread_plan(states_padded, lo, width)
+    alphas = sorted({alpha for alpha, _ in keys})
+    reb_alphas = sorted({a for (_, _, a, _, _) in rebuild})
+
+    sub = lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    g_of = sub % BATCH_TILE
+    r_of = sub // BATCH_TILE
+
+    def obs_col(k):
+        col = obs_ref[:, 0, k, :]  # (M, 128)
+        if not log_input:
+            col = jnp.log(col)
+        if apply_epsilon:
+            col = jnp.log(
+                jnp.exp(col) + jnp.float32(jnp.finfo(jnp.float32).tiny))
+        # Replicate over the 8 slots: (M, 128) -> (M, 8, 128) -> (R, 128)
+        return jnp.concatenate(
+            [col[:, None, :]] * BATCH_TILE, axis=1).reshape(rows, 128)
+
+    def rebuild_spread(post):
+        """Slot-replicated posterior -> the 8 shifted copies (slot g
+        holds post[dest + lo + g]): ~len(reb_alphas) lane rotates, free
+        renames, masked selects"""
+        rots = {a: (post if a == 0 else pltpu.roll(post, a, 1))
+                for a in reb_alphas}
+        out = jnp.full((rows, 128), NEG_INF, jnp.float32)
+        for (g, amt_g, a, r_lo, r_hi) in rebuild:
+            z = rots[a]
+            if amt_g:
+                z = pltpu.roll(z, amt_g, 0)
+            sel = (g_of == g) & (r_of >= r_lo) & (r_of <= r_hi)
+            out = jnp.where(sel, z, out)
+        return out
+
+    bf0 = frames_ref[0, 0]
+
+    for k in range(frame_tile):
+        t = tb * frame_tile + k
+
+        @pl.when(t == 0)
+        def _init(k=k):
+            post0 = obs_col(0) + init_ref[...]
+            post_ref[...] = post0.reshape(M, BATCH_TILE, 128)
+            postseq_ref[:, :, k, :] = post0.reshape(M, BATCH_TILE, 128)
+
+        @pl.when(jnp.logical_and(t > 0, t < bf0))
+        def _step(k=k, t=t):
+            post = post_ref[...].reshape(rows, 128)
+
+            m = None
+            if width:
+                spread = rebuild_spread(post)
+                rotated = {
+                    alpha: (spread if alpha == 0
+                            else pltpu.roll(spread, alpha, 1))
+                    for alpha in alphas}
+                n_acc = min(4, len(keys))
+                accs = [
+                    jnp.full((rows, 128), NEG_INF, jnp.float32)
+                    for _ in range(n_acc)]
+                for i, (alpha, amt) in enumerate(keys):
+                    v = rotated[alpha]
+                    if amt:
+                        v = pltpu.roll(v, amt, 0)
+                    accs[i % n_acc] = jnp.maximum(
+                        accs[i % n_acc], v + band_ref[i])
+                m = accs[0]
+                for acc in accs[1:]:
+                    m = jnp.maximum(m, acc)
+                # Group-wrapped rotation all-reduce over the 8 slots:
+                # after steps 1, 2, 4 every slot holds its group's max
+                for delta in (1, 2, 4):
+                    y = jnp.where(
+                        g_of < BATCH_TILE - delta,
+                        pltpu.roll(m, (-delta) % rows, 0),
+                        pltpu.roll(m, BATCH_TILE - delta, 0))
+                    m = jnp.maximum(m, y)
+
+            if floor is not None:
+                # Global max over states: the replication makes every
+                # slot's aligned-vreg reduction equal the true global max
+                per8 = post[:BATCH_TILE, :]
+                for i in range(1, M):
+                    per8 = jnp.maximum(
+                        per8, post[i * BATCH_TILE:(i + 1) * BATCH_TILE, :])
+                gmax = jnp.max(per8, axis=1, keepdims=True)  # (8, 1)
+                fm = jnp.concatenate([gmax] * M, axis=0) + floor
+                m = fm if m is None else jnp.maximum(m, fm)
+
+            kept = obs_col(k) + m
+            kept_m = kept.reshape(M, BATCH_TILE, 128)
+            post_ref[...] = kept_m
+            postseq_ref[:, :, k, :] = kept_m
+
+        @pl.when(jnp.logical_and(t > 0, t >= bf0))
+        def _padded(k=k):
+            postseq_ref[:, :, k, :] = post_ref[...]
 
 
 def _build_band_forward_stitched(batch, frames, states_in, states_padded,
@@ -896,10 +1108,124 @@ def _build_band_forward_stitched(batch, frames, states_in, states_padded,
     return jax.jit(forward)
 
 
+def _build_band_forward_spread(batch, frames, states_in, states_padded,
+                               lo, width, floor, interpret, log_input,
+                               apply_epsilon, frame_tile,
+                               external_band_matrix, packed=False):
+    """Stage the batch-1 spread pipeline (see spread_plan).
+
+    The caller guarantees ``batch == BATCH_TILE`` (a batch-1 decode padded
+    to the 8-row tile) and a width > 0 band. Only batch row 0 of the
+    observation is read; the emitted posterior stream carries the stitched
+    (M, 8, frames, 128) layout with all 8 rows replicas of the real
+    sequence, so backtrace_posteriors12 consumes it unchanged.
+    """
+    assert batch == BATCH_TILE and width > 0
+    M = states_padded // 128
+    rows = M * BATCH_TILE
+    keys, _, _ = spread_plan(states_padded, lo, width)
+
+    kernel = functools.partial(
+        _band_kernel_spread,
+        states_padded=states_padded,
+        lo=lo,
+        width=width,
+        floor=floor,
+        log_input=log_input,
+        apply_epsilon=apply_epsilon,
+        frame_tile=frame_tile)
+    grid = (frames // frame_tile,)
+    in_specs = [
+        pl.BlockSpec(
+            (M, 1, frame_tile, 128),
+            lambda t: (0, 0, t, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (len(keys), rows, 128),
+            lambda t: (0, 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (rows, 128),
+            lambda t: (0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (BATCH_TILE, 1),
+            lambda t: (0, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (M, BATCH_TILE, frame_tile, 128),
+            lambda t: (0, 0, t, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (M, BATCH_TILE, 128),
+            lambda t: (0, 0, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (M, batch, frames, 128), jnp.float32),
+            jax.ShapeDtypeStruct((M, batch, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=frames * 2 * len(keys) * rows * 128,
+            bytes_accessed=(
+                frames * states_padded * 4 * (1 + BATCH_TILE)
+                + len(keys) * rows * 128 * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret)
+
+    def to_mod(obs):
+        arr = obs.reshape(batch, frames, 128, M)
+        return jnp.transpose(arr, (3, 0, 1, 2))
+
+    def init_mod(initial):
+        arr = initial.reshape(128, M)          # (l, r)
+        arr = jnp.transpose(arr, (1, 0))       # (r, l)
+        return jnp.repeat(arr, BATCH_TILE, axis=0)
+
+    def run(observation, band_spread, initial, bf):
+        obs = observation
+        if not packed:
+            if states_in != states_padded:
+                obs = jnp.pad(
+                    obs, ((0, 0), (0, 0), (0, states_padded - states_in)),
+                    constant_values=NEG_INF if log_input else 0.0)
+            obs = to_mod(obs)
+        return call(
+            obs, band_spread, init_mod(initial), bf.reshape(batch, 1))
+
+    if external_band_matrix:
+        def forward(observation, batch_frames, band_spread, initial):
+            return run(
+                observation, band_spread, initial,
+                batch_frames.astype(jnp.int32))
+    else:
+        def forward(observation, batch_frames, transition_padded, initial):
+            band_matrix = build_band_matrix(transition_padded, lo, width)
+            band_spread = build_band_matrix_spread(
+                band_matrix, states_padded, lo, width)
+            return run(
+                observation, band_spread, initial,
+                batch_frames.astype(jnp.int32))
+
+    return jax.jit(forward)
+
+
 def viterbi_forward_band(observation, batch_frames, transition_padded,
                          initial, band, interpret=False,
                          log_input=True, apply_epsilon=False,
-                         band_matrix=None, raw12=False, packed=False):
+                         band_matrix=None, raw12=False, packed=False,
+                         spread=False):
     """Banded Pallas forward pass.
 
     observation may carry an UNPADDED state dimension (the kernel lane-pads
@@ -935,7 +1261,7 @@ def viterbi_forward_band(observation, batch_frames, transition_padded,
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', FRAME_TILE)),
         external_band_matrix=band_matrix is not None,
         layout=str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
-        raw12=raw12, packed=packed)
+        raw12=raw12, packed=packed, spread=spread)
     if band_matrix is not None:
         return fwd(observation, batch_frames, band_matrix, initial)
     return fwd(observation, batch_frames, transition_padded, initial)

@@ -50,7 +50,8 @@ _trans_prep_cache = {}
 _init_prep_cache = {}
 
 
-def _prepare_padded(transition, initial, states, states_p, band):
+def _prepare_padded(transition, initial, states, states_p, band,
+                    spread=False):
     layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
 
     def trans_compute():
@@ -66,8 +67,14 @@ def _prepare_padded(transition, initial, states, states_p, band):
                 band_matrix, states_p)
         elif (band_matrix is not None and layout == 'stitched'
                 and band[1] > 0):
-            band_matrix = band_ops.build_band_matrix_stitched(
-                band_matrix, states_p, band[0], band[1])
+            if spread:
+                # Batch-1 replicated-offsets kernel: its stitched
+                # matrices cover 8 band offsets per pair
+                band_matrix = band_ops.build_band_matrix_spread(
+                    band_matrix, states_p, band[0], band[1])
+            else:
+                band_matrix = band_ops.build_band_matrix_stitched(
+                    band_matrix, states_p, band[0], band[1])
             # The mod-M backtrace consumes the forward's M-major posterior
             # stream directly; the transition it adds per chase step needs
             # its COLUMNS in the assembled-lane order s' = r*128 + l
@@ -80,7 +87,7 @@ def _prepare_padded(transition, initial, states, states_p, band):
 
     trans_p, band_matrix = _identity_cached(
         _trans_prep_cache, transition, trans_compute,
-        extra_key=(states_p, band, layout))
+        extra_key=(states_p, band, layout, spread))
 
     def init_compute():
         return jnp.pad(
@@ -235,7 +242,7 @@ def _unpack_packed_fn():
 @functools.lru_cache(maxsize=128)
 def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                   interpret, log_input, apply_epsilon, mesh_key, config_key,
-                  packed=False, single=False):
+                  packed=False, single=False, spread=False):
     """Stage the decode pipeline for one (bucketed batch, bucketed frames)
     shape as a single jitted function.
 
@@ -311,7 +318,8 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                     interpret=interpret,
                     log_input=(log_input or not fold_obs),
                     apply_epsilon=(apply_epsilon and fold_obs),
-                    band_matrix=band_matrix, raw12=True, packed=packed)
+                    band_matrix=band_matrix, raw12=True, packed=packed,
+                    spread=spread)
                 return backtrace_posteriors12(
                     post12, trans_p, posterior12, batch_frames,
                     interpret=interpret, real_batch=real_batch)
@@ -579,17 +587,23 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             (0, batch_p - batch),
             constant_values=1)
 
+    single = (batch == 1 and batch_p > 1
+              and backend not in ('xla', 'lse'))
+    # Batch-1 spread kernel (band_ops.spread_plan): replicated-offsets
+    # forward for the single-sequence case, measured-gated by config
+    spread = (single and stitched_path
+              and batch_p == band_ops.BATCH_TILE
+              and bool(getattr(torbi_tpu, 'BAND_BATCH1_SPREAD', False)))
     fn = _build_decode(
         backend, batch_p, frames_p, states, states_in, band, interpret,
         log_input, apply_epsilon, mesh_key, _config_key(), packed,
-        single=(batch == 1 and batch_p > 1
-                and backend not in ('xla', 'lse')))
+        single=single, spread=spread)
     if backend in ('xla', 'lse'):
         indices = fn(obs, bf, transition, initial)
     else:
         states_p = _round_up(states, 128)
         trans_p, init_p, band_matrix = _prepare_padded(
-            transition, initial, states, states_p, band)
+            transition, initial, states, states_p, band, spread=spread)
         if band is not None:
             indices = fn(obs, bf, trans_p, init_p, band_matrix)
         else:
