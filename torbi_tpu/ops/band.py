@@ -642,14 +642,16 @@ def _build_band_forward(batch, frames, states_in, states_padded, lo, width,
         '(dispatch.bucket_frames does this)')
     while frames % frame_tile:
         frame_tile //= 2
-    assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
     if spread and width > 0:
-        # Batch-1 replicated-offsets kernel (spread_plan); emits the
-        # stitched raw12 stream with all 8 rows replicas of row 0
+        # Batch-1 replicated-offsets kernel (spread_plan): consumes the
+        # UNPADDED single-row observation and emits the stitched raw12
+        # stream with all 8 rows replicas of it
+        assert frames % frame_tile == 0
         return _build_band_forward_spread(
             batch, frames, states_in, states_padded, lo, width, floor,
             interpret, log_input, apply_epsilon, frame_tile,
             external_band_matrix, packed=packed)
+    assert batch % BATCH_TILE == 0 and frames % frame_tile == 0
     if layout == 'stitched' and width > 0:
         return _build_band_forward_stitched(
             batch, frames, states_in, states_padded, lo, width, floor,
@@ -839,10 +841,10 @@ def build_band_matrix_spread(band_matrix, states_padded, lo, width):
 
 
 def _band_kernel_spread(
-        obs_ref,       # (M, 1, ft, 128) mod-M obs block, batch row 0 only
+        obs_ref,       # (M, 1, ft, 128) mod-M obs block (single real row)
         band_ref,      # (P, R, 128) spread-stitched matrices, resident
         init_ref,      # (R, 128) slot-replicated mod-M initial, resident
-        frames_ref,    # (8, 1) int32 at (0, 0); only row 0 is real
+        frames_ref,    # (1, 1) int32: the real sequence's frame count
         postseq_ref,   # out: (M, 8, ft, 128) REPLICATED posterior columns
         post_ref,      # out: (M, 8, 128) replicated carry
         *,
@@ -1114,13 +1116,14 @@ def _build_band_forward_spread(batch, frames, states_in, states_padded,
                                external_band_matrix, packed=False):
     """Stage the batch-1 spread pipeline (see spread_plan).
 
-    The caller guarantees ``batch == BATCH_TILE`` (a batch-1 decode padded
-    to the 8-row tile) and a width > 0 band. Only batch row 0 of the
-    observation is read; the emitted posterior stream carries the stitched
-    (M, 8, frames, 128) layout with all 8 rows replicas of the real
-    sequence, so backtrace_posteriors12 consumes it unchanged.
+    The observation arrives UNPADDED (batch == 1; skipping the 8-row pad
+    copy the stitched path would pay) with a width > 0 band. The emitted
+    posterior stream carries the stitched (M, BATCH_TILE, frames, 128)
+    layout with all 8 rows replicas of the real sequence, so
+    backtrace_posteriors12 consumes it unchanged (dispatch pads
+    batch_frames to the 8-row tile and passes real_batch=1).
     """
-    assert batch == BATCH_TILE and width > 0
+    assert batch == 1 and width > 0
     M = states_padded // 128
     rows = M * BATCH_TILE
     keys, _, _ = spread_plan(states_padded, lo, width)
@@ -1149,7 +1152,7 @@ def _build_band_forward_spread(batch, frames, states_in, states_padded,
             lambda t: (0, 0),
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (BATCH_TILE, 1),
+            (1, 1),
             lambda t: (0, 0),
             memory_space=pltpu.VMEM),
     ]
@@ -1170,8 +1173,8 @@ def _build_band_forward_spread(batch, frames, states_in, states_padded,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (M, batch, frames, 128), jnp.float32),
-            jax.ShapeDtypeStruct((M, batch, 128), jnp.float32),
+                (M, BATCH_TILE, frames, 128), jnp.float32),
+            jax.ShapeDtypeStruct((M, BATCH_TILE, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=frames * 2 * len(keys) * rows * 128,
@@ -1202,7 +1205,7 @@ def _build_band_forward_spread(batch, frames, states_in, states_padded,
                     constant_values=NEG_INF if log_input else 0.0)
             obs = to_mod(obs)
         return call(
-            obs, band_spread, init_mod(initial), bf.reshape(batch, 1))
+            obs, band_spread, init_mod(initial), bf[:1].reshape(1, 1))
 
     if external_band_matrix:
         def forward(observation, batch_frames, band_spread, initial):

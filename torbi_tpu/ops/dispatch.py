@@ -564,6 +564,17 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     # same kernel shape (per-shard batch is a multiple of the pad multiple)
     batch_p = bucket_batch(-(-batch // n_shards)) * n_shards
     frames_p = bucket_frames(frames)
+    single = (batch == 1 and batch_p > 1
+              and backend not in ('xla', 'lse'))
+    # Batch-1 spread kernel (band_ops.spread_plan): replicated-offsets
+    # forward for the single-sequence case, measured-gated by config. It
+    # reads only the real observation row, so the 8-row batch pad copy of
+    # the largest input is skipped (batch_frames still pads: the emitted
+    # replicated stream feeds the 8-row backtrace tile).
+    spread = (single and stitched_path
+              and batch_p == band_ops.BATCH_TILE
+              and bool(getattr(torbi_tpu, 'BAND_BATCH1_SPREAD', False)))
+    obs_batch_p = batch if spread else batch_p
     if batch_p == batch and frames_p == frames:
         obs, bf = observation, batch_frames
     else:
@@ -574,26 +585,19 @@ def decode(observation, batch_frames, transition, initial, backend=None,
         if packed:
             obs = jnp.pad(
                 observation,
-                ((0, 0), (0, batch_p - batch), (0, frames_p - frames),
-                 (0, 0)),
+                ((0, 0), (0, obs_batch_p - batch),
+                 (0, frames_p - frames), (0, 0)),
                 constant_values=pad_value)
         else:
             obs = jnp.pad(
                 observation,
-                ((0, batch_p - batch), (0, frames_p - frames), (0, 0)),
+                ((0, obs_batch_p - batch), (0, frames_p - frames), (0, 0)),
                 constant_values=pad_value)
         bf = jnp.pad(
             jnp.asarray(batch_frames).astype(jnp.int32),
             (0, batch_p - batch),
             constant_values=1)
 
-    single = (batch == 1 and batch_p > 1
-              and backend not in ('xla', 'lse'))
-    # Batch-1 spread kernel (band_ops.spread_plan): replicated-offsets
-    # forward for the single-sequence case, measured-gated by config
-    spread = (single and stitched_path
-              and batch_p == band_ops.BATCH_TILE
-              and bool(getattr(torbi_tpu, 'BAND_BATCH1_SPREAD', False)))
     fn = _build_decode(
         backend, batch_p, frames_p, states, states_in, band, interpret,
         log_input, apply_epsilon, mesh_key, _config_key(), packed,
