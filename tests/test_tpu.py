@@ -209,3 +209,45 @@ def test_file_workload_end_to_end_tpu(tmp_path):
             eps_obs[None], np.array([obs.shape[0]]), log_trans, init)[0]
         got = np.load(outfile)
         np.testing.assert_array_equal(got, expected, err_msg=str(infile))
+
+
+@requires_tpu
+def test_batch1_spread_pitch_matches_oracle_tpu(monkeypatch):
+    """The batch-1 spread kernel (BAND_BATCH1_SPREAD) and the real_batch=1
+    backtrace load elision through real Mosaic lowering, at the pitch
+    configuration, bit-exact vs the oracle. Also decodes with the default
+    (stitched) batch-1 path for agreement between the two."""
+    import torbi_tpu
+    from torbi_tpu.models import pitch
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode
+
+    rng = np.random.default_rng(29)
+    tiny = np.finfo(np.float32).tiny
+    frames, states = 64, 1440
+
+    centers = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(1, frames)), axis=1) + 720,
+        0, states - 1)
+    bins = np.arange(states, dtype=np.float32)[None, None, :]
+    logits = -0.5 * (
+        (bins - centers[..., None].astype(np.float32)) / 2.5) ** 2
+    obs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+    obs = np.log(np.exp(obs.astype(np.float32)) + tiny)
+
+    trans = np.log(pitch.transition_matrix() + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.array([frames], dtype=np.int32)
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got_default = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got_default, expected)
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', True,
+                        raising=False)
+    got_spread = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got_spread, expected)
