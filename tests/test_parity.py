@@ -591,7 +591,10 @@ def test_spread_batch1_kernel_matches_oracle(monkeypatch, with_floor):
         rng.dirichlet(np.ones(states), size=(1, frames))
         .astype(np.float32) + tiny)
     xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
-    band = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    # Asymmetric band (three columns upper-heavy): lo is NOT -(width//2),
+    # exercising the spread rebuild's lo-dependent renames
+    band = np.clip(halfwidth + 1.0 - np.abs(xx - yy + 3), 0, None)
+    band = band + np.eye(states, dtype=np.float32) * 1e-3
     band = (band / band.sum(axis=1, keepdims=True)).astype(np.float32)
     if with_floor:
         trans = np.log(band + tiny)  # constant log(tiny) floor exterior
