@@ -632,3 +632,32 @@ def test_spread_batch1_kernel_matches_oracle(monkeypatch, with_floor):
         jnp.asarray(init), backend='pallas', log_input=False,
         apply_epsilon=True))
     np.testing.assert_array_equal(got_eps, expected_eps)
+
+
+def test_constant_transition_parallel_backtrace_exact_ties():
+    """The width-0 (constant transition) path's PARALLEL backtrace: the
+    chase collapses to per-frame first-argmax of post + floor. Engineered
+    exact ties must still break to the lowest state index, and padded
+    rows/frames keep the seed-broadcast semantics."""
+    rng = np.random.default_rng(41)
+    batch, frames, states = 3, 17, 24
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    # Exact ties: duplicate state columns pairwise so every frame's
+    # posterior has equal-scoring neighbors
+    obs[:, :, 1::2] = obs[:, :, 0::2]
+    trans = np.full(
+        (states, states), np.float32(np.log(1.0 / states)), np.float32)
+    init = np.full(states, np.float32(np.log(1.0 / states)), np.float32)
+    init[1::2] = init[0::2]
+    bf = np.array([frames, 1, frames - 6], dtype=np.int32)
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+    # The ties are real: every decoded state must be even (lowest of pair)
+    assert (got % 2 == 0).all()

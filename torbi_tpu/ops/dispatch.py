@@ -301,6 +301,35 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                 obs, batch_frames, transition, initial,
                 beta=torbi_tpu.LSE_BETA)
         n_args = 4
+    elif band is not None and band[1] == 0 and band[2] is not None:
+        # Constant transition (width-0 floor band, e.g. the uniform
+        # default): every destination's backpointer is the same
+        # first-argmax of post[t-1] + floor, so the serial chase collapses
+        # into ONE fully parallel pass over the posterior stream -- no
+        # Pallas backtrace, no per-step transition-row loads. Bitwise: the
+        # +floor add is kept (dropping it could round two distinct
+        # posteriors into a tie the oracle would break by index).
+        floor = float(band[2])
+
+        def pipeline(observation, batch_frames, trans_p, init_p,
+                     band_matrix):
+            obs = observation if fold_obs else convert(observation)
+            post_seq, posterior = band_ops.viterbi_forward_band(
+                obs, batch_frames, trans_p, init_p, band,
+                interpret=interpret,
+                log_input=(log_input or not fold_obs),
+                apply_epsilon=(apply_epsilon and fold_obs),
+                band_matrix=band_matrix)
+            pred = jnp.argmax(
+                post_seq + jnp.float32(floor), axis=2).astype(jnp.int32)
+            seed = jnp.argmax(posterior, axis=1).astype(jnp.int32)
+            t = jnp.arange(post_seq.shape[1], dtype=jnp.int32)[None, :]
+            bf = batch_frames.astype(jnp.int32)[:, None]
+            # Positions bf-1 .. T-1 hold the argmax seed (the reference's
+            # broadcast-then-backtrace scheme, viterbi.cpp:218-225);
+            # earlier positions are the frame's own first-argmax
+            return jnp.where(t >= bf - 1, seed[:, None], pred)
+        n_args = 5
     elif band is not None:
         # Stitched layout with a real band: the forward's M-major posterior
         # stream feeds the mod-M-aware backtrace directly (trans_p arrives
