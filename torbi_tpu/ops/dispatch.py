@@ -303,32 +303,70 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
         n_args = 4
     elif band is not None and band[1] == 0 and band[2] is not None:
         # Constant transition (width-0 floor band, e.g. the uniform
-        # default): every destination's backpointer is the same
-        # first-argmax of post[t-1] + floor, so the serial chase collapses
-        # into ONE fully parallel pass over the posterior stream -- no
-        # Pallas backtrace, no per-step transition-row loads. Bitwise: the
-        # +floor add is kept (dropping it could round two distinct
-        # posteriors into a tie the oracle would break by index).
-        floor = float(band[2])
+        # default): the whole decode collapses to parallel XLA passes.
+        # Forward: post[t][s] = fl(obs[t][s] + m_t) with the SCALAR
+        # per-row carry m_t = fl(g_{t-1} + floor), g_t = max_s post[t][s];
+        # because fp rounding is monotone, max_s fl(obs[s] + c) =
+        # fl(max_s obs[s] + c), so g follows a trivial scalar recurrence
+        # over per-frame observation maxima. Backtrace: every
+        # destination's backpointer is the same first-argmax of
+        # fl(post[t-1] + floor), so no chase exists either. Net: two
+        # fused elementwise/reduce passes over the observation, one tiny
+        # unrolled scan of length T, NO Pallas kernels and NO posterior
+        # stream -- bitwise identical to the kernel path (every retained
+        # fp add happens in the same order on the same values).
+        floor_f = jnp.float32(band[2])
 
         def pipeline(observation, batch_frames, trans_p, init_p,
                      band_matrix):
-            obs = observation if fold_obs else convert(observation)
-            post_seq, posterior = band_ops.viterbi_forward_band(
-                obs, batch_frames, trans_p, init_p, band,
-                interpret=interpret,
-                log_input=(log_input or not fold_obs),
-                apply_epsilon=(apply_epsilon and fold_obs),
-                band_matrix=band_matrix)
-            pred = jnp.argmax(
-                post_seq + jnp.float32(floor), axis=2).astype(jnp.int32)
-            seed = jnp.argmax(posterior, axis=1).astype(jnp.int32)
-            t = jnp.arange(post_seq.shape[1], dtype=jnp.int32)[None, :]
-            bf = batch_frames.astype(jnp.int32)[:, None]
-            # Positions bf-1 .. T-1 hold the argmax seed (the reference's
-            # broadcast-then-backtrace scheme, viterbi.cpp:218-225);
-            # earlier positions are the frame's own first-argmax
-            return jnp.where(t >= bf - 1, seed[:, None], pred)
+            del band_matrix  # width-0: no in-band candidates
+            from jax import lax
+
+            obs = convert(observation)
+            states_cur = obs.shape[2]
+            init_row = init_p[:states_cur]
+            bf = batch_frames.astype(jnp.int32)
+            frames_n = obs.shape[1]
+
+            post0 = obs[:, 0, :] + init_row[None, :]       # (B, S)
+            g0 = jnp.max(post0, axis=1)                    # (B,)
+            mo = jnp.max(obs, axis=2)                      # (B, T)
+
+            def body(g, inputs):
+                mo_t, t = inputs
+                gm = g + floor_f                           # m_t (B,)
+                g_new = mo_t + gm
+                # Freeze past each row's last valid frame (the kernel's
+                # valid = t < batch_frames)
+                return jnp.where(t < bf, g_new, g), gm
+
+            tgrid = jnp.arange(1, frames_n, dtype=jnp.int32)
+            _, ms = lax.scan(
+                body, g0, (jnp.transpose(mo[:, 1:]), tgrid), unroll=8)
+            ms = jnp.transpose(ms)                         # (B, T-1)
+
+            # Backpointers: first-argmax of fl(post + floor) per frame
+            pred0 = jnp.argmax(post0 + floor_f, axis=1)
+            pred_rest = jnp.argmax(
+                (obs[:, 1:, :] + ms[:, :, None]) + floor_f, axis=2)
+            pred = jnp.concatenate(
+                [pred0[:, None], pred_rest], axis=1).astype(jnp.int32)
+
+            # Seed: first-argmax of the posterior at each row's last
+            # valid frame (viterbi.cpp:218-221)
+            last = jnp.clip(bf - 1, 0, frames_n - 1)       # (B,)
+            obs_last = jnp.take_along_axis(
+                obs, last[:, None, None], axis=1)[:, 0, :]
+            m_last = jnp.take_along_axis(
+                jnp.pad(ms, ((0, 0), (1, 1))), last[:, None], axis=1)
+            post_last = jnp.where(
+                (last == 0)[:, None], post0, obs_last + m_last)
+            seed = jnp.argmax(post_last, axis=1).astype(jnp.int32)
+
+            t = jnp.arange(frames_n, dtype=jnp.int32)[None, :]
+            # Positions bf-1 .. T-1 hold the seed (the reference's
+            # broadcast-then-backtrace scheme, viterbi.cpp:218-225)
+            return jnp.where(t >= bf[:, None] - 1, seed[:, None], pred)
         n_args = 5
     elif band is not None:
         # Stitched layout with a real band: the forward's M-major posterior
@@ -566,11 +604,17 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     frames_est = bucket_frames(frames)
     states_est = _round_up(states, 128)
     # The stitched path with a NATURAL-layout observation materializes a
-    # full-size mod-M relayout of it (packed inputs skip that copy)
+    # full-size mod-M relayout of it (packed inputs skip that copy); the
+    # constant-transition (width-0) path materializes NO posterior stream
+    # at all (its decode is fused parallel passes over the observation)
     obs_copies = 2 if (stitched_path and not packed) else 1
+    constant_path = (
+        band is not None and band[1] == 0 and band[2] is not None
+        and backend in ('pallas', 'band'))
     footprint = (
-        batch * frames_est * (states_in * obs_copies + states_est) * 4
-        // n_shards)
+        batch * frames_est
+        * (states_in * obs_copies + (0 if constant_path else states_est))
+        * 4 // n_shards)
     if footprint > int(torbi_tpu.DECODE_MEMORY_BUDGET) and batch > 8:
         half = (batch + 1) // 2
         first_obs = observation[:, :half] if packed else observation[:half]
