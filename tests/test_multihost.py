@@ -41,6 +41,38 @@ def _free_port():
         return sock.getsockname()[1]
 
 
+# Coordinator-setup failures are environmental (the probed free port can
+# be stolen before worker 0 binds it, or the distributed handshake can
+# time out on a loaded machine); retry those, never decode failures.
+_COORD_ERRORS = (
+    'ADDRINUSE', 'Failed to bind', 'DEADLINE_EXCEEDED', 'UNAVAILABLE',
+    'coordinator', 'barrier timed out')
+
+
+def _run_workers(worker_src, args, timeout=240, attempts=3):
+    """Spawn the two-process pod; returns worker logs. Retries (with a
+    fresh coordinator port) only when a failing worker's log names a
+    coordinator/bind error."""
+    for attempt in range(attempts):
+        addr = f'127.0.0.1:{_free_port()}'
+        procs = [
+            subprocess.Popen(
+                [sys.executable, '-c', worker_src, addr, str(pid)] + args,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for pid in range(2)]
+        logs = [proc.communicate(timeout=timeout)[0] for proc in procs]
+        failed = [log for proc, log in zip(procs, logs)
+                  if proc.returncode != 0]
+        if not failed:
+            return logs
+        if attempt == attempts - 1 or not any(
+                err in log for log in failed for err in _COORD_ERRORS):
+            for proc, log in zip(procs, logs):
+                assert proc.returncode == 0, log[-3000:]
+    return logs
+
+
 def test_two_process_file_sharding(tmp_path):
     rng = np.random.default_rng(21)
     tiny = np.finfo(np.float32).tiny
@@ -75,15 +107,8 @@ def test_two_process_file_sharding(tmp_path):
             {'inputs': inputs, 'outputs': outputs,
              'transition': str(tfile)}, file)
 
-    addr = f'127.0.0.1:{_free_port()}'
-    procs = [
-        subprocess.Popen(
-            [sys.executable, '-c', WORKER, addr, str(pid), str(spec)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)]
-    logs = [proc.communicate(timeout=240)[0] for proc in procs]
-    for proc, log in zip(procs, logs):
-        assert proc.returncode == 0, log[-2000:]
+    logs = _run_workers(WORKER, [str(spec)])
+    for log in logs:
         assert 'WORKER_DONE' in log
 
     # The union of the two shards covers every file, exactly once, and
@@ -165,15 +190,8 @@ def test_two_process_large_batch_auto_shard(tmp_path):
             {'inputs': inputs, 'outputs': outputs,
              'transition': str(tfile)}, file)
 
-    addr = f'127.0.0.1:{_free_port()}'
-    procs = [
-        subprocess.Popen(
-            [sys.executable, '-c', SHARD_WORKER, addr, str(pid), str(spec)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)]
-    logs = [proc.communicate(timeout=240)[0] for proc in procs]
-    for proc, log in zip(procs, logs):
-        assert proc.returncode == 0, log[-2000:]
+    logs = _run_workers(SHARD_WORKER, [str(spec)])
+    for log in logs:
         assert 'WORKER_DONE' in log
 
     for out in outputs:
@@ -268,16 +286,7 @@ def test_two_process_evaluate_aggregates_metrics(tmp_path):
     spec_file = tmp_path / 'spec.json'
     spec_file.write_text(json.dumps(spec))
 
-    address = f'127.0.0.1:{_free_port()}'
-    workers = [
-        subprocess.Popen(
-            [sys.executable, '-c', EVAL_WORKER, address, str(rank),
-             str(spec_file)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for rank in range(2)]
-    outputs = [worker.communicate(timeout=900)[0] for worker in workers]
-    for worker, output in zip(workers, outputs):
-        assert worker.returncode == 0, output[-3000:]
+    outputs = _run_workers(EVAL_WORKER, [str(spec_file)], timeout=900)
 
     parsed = []
     for output in outputs:
