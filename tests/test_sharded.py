@@ -256,3 +256,32 @@ def test_auto_shard_packed_observation():
         jnp.asarray(packed), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_auto_shard_constant_transition():
+    """Auto-sharding composes with the full-XLA constant-transition decode
+    (no kernels, no posterior stream): the parallel passes and the scalar
+    scan run inside shard_map with per-shard batch_frames"""
+    from torbi_tpu.ops import band as band_ops
+    from torbi_tpu.ops import dispatch
+
+    rng = np.random.default_rng(33)
+    batch, frames, states = 64, 15, 30
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(batch, frames))
+        .astype(np.float32) + tiny)
+    trans = np.full(
+        (states, states), np.float32(np.log(1.0 / states)), np.float32)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = rng.integers(1, frames + 1, size=batch).astype(np.int32)
+    bf[0] = frames
+
+    assert band_ops.detect_band(jnp.asarray(trans)) is not None
+    assert dispatch.resolve_mesh(None, batch) is not None
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch.decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
