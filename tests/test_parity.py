@@ -661,3 +661,35 @@ def test_constant_transition_parallel_backtrace_exact_ties():
     np.testing.assert_array_equal(got, expected)
     # The ties are real: every decoded state must be even (lowest of pair)
     assert (got % 2 == 0).all()
+
+
+def test_spread_multi_frame_tile_backtrace(monkeypatch):
+    """Spread's replicated stream through a multi-tile backtrace: frames
+    bucket above 128, so the chase crosses frame-tile boundaries via the
+    deferred step while load_rows=1 elides the padding rows' loads."""
+    from torbi_tpu.ops import band as band_ops
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'stitched',
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', True,
+                        raising=False)
+
+    rng = np.random.default_rng(97)
+    frames, states, halfwidth = 230, 256, 6  # buckets to 256: 2 tiles
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(1, frames))
+        .astype(np.float32) + tiny)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    band = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (band / band.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames], dtype=np.int32)
+
+    assert band_ops.detect_band(jnp.asarray(trans))[1] > 0
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
