@@ -766,61 +766,30 @@ def check_mod12(args):
 def build_spread_plan(states, width, band_host):
     """Stitched plan for the batch-1 'spread' (replicated-offsets) kernel.
 
-    At batch 1 the stitched layout's 8 batch sublane slots idle; spread
-    fills slot g with the posterior shifted by candidate offset g, so ONE
-    masked add+max covers 8 band offsets at once (a chunk d = 8q..8q+7).
-    Shifting the whole replicated array by 8q in state space is a free
-    sublane rename -- (M*kk - 8q)*8 is congruent to -64q mod M*8*... mod
-    rows for EITHER row-carry kk, so each chunk needs exactly one rename --
-    plus the usual per-row lane-carry split folded into stitched matrices.
+    Delegates the layout math to the PRODUCTION plan
+    (torbi_tpu.ops.band.spread_plan with the lab's centered band,
+    lo = -(width//2)) so the variant measured here runs exactly the
+    shipped keys/renames/rebuild; only the band-matrix gather uses the
+    lab's host-side band array. Caveat vs production: the lab kernel
+    omits the constant-floor term (one extra masked max per frame) and
+    the frame-validity gating.
 
-    Returns (keys, stitched, rebuild):
-      keys: sorted (lane-rotate alpha, sublane-rename amt) chunk pairs
-      stitched: (P, rows, 128) band matrices, cell (r*8+g, l) holding the
-        band weight of candidate d = 8*q(key, r) + g at output state
-        j = M*l + r (-inf where unowned or d >= width)
-      rebuild: per (slot g, row-carry kk) recipe to rebuild the replicated
-        array from the new posterior: (g, sublane rename, lane rotate,
-        first row, last row)
+    Returns (keys, stitched, rebuild) -- see ops/band.py::spread_plan.
     """
+    from torbi_tpu.ops import band as band_ops
+
     M = states // 128
     rows = M * 8
-    shift0 = width // 2
-    pairs = {}
-    owner = {}
-    for q in range((width + 7) // 8):
-        amt = (-64 * q) % rows
-        for r_out in range(M):
-            kk = (r_out + 8 * q) // M
-            alpha = (-kk) % 128
-            key = (alpha, amt)
-            mat = pairs.setdefault(
-                key, np.full((rows, 128), NEG_INF, np.float32))
-            assert owner.setdefault((key, r_out), q) == q, (
-                'spread stitch collision')
+    lo = -(width // 2)
+    keys, pairs, rebuild = band_ops.spread_plan(states, lo, width)
+    stitched = np.full((len(keys), rows, 128), NEG_INF, np.float32)
+    for i, key in enumerate(keys):
+        for r_out, q in pairs[key].items():
             jcols = np.arange(128) * M + r_out
             for g in range(8):
                 d = 8 * q + g
                 if d < width:
-                    mat[r_out * 8 + g] = band_host[d, jcols]
-    keys = sorted(pairs)
-    stitched = np.stack([pairs[key] for key in keys])
-
-    # Rebuild: slot g of the replicated array holds post[dest + g - shift0]
-    # (candidate d = g's source). From a replicated posterior P_rep, slot g
-    # is one free sublane rename (-8*(g - shift0) mod rows: source slot is
-    # also g) plus a lane rotate for the row carry, split over contiguous
-    # row ranges exactly like the chunk pairs.
-    rebuild = []
-    for g in range(8):
-        e = g - shift0
-        amt_g = (-8 * e) % rows
-        by_kk = {}
-        for r_out in range(M):
-            by_kk.setdefault((r_out + e) // M, []).append(r_out)
-        for kk, rlist in sorted(by_kk.items()):
-            rebuild.append(
-                (g, amt_g, (-kk) % 128, min(rlist), max(rlist)))
+                    stitched[i, r_out * 8 + g] = band_host[d, jcols]
     return keys, stitched, rebuild
 
 

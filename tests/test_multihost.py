@@ -70,7 +70,6 @@ def _run_workers(worker_src, args, timeout=240, attempts=3):
                 err in log for log in failed for err in _COORD_ERRORS):
             for proc, log in zip(procs, logs):
                 assert proc.returncode == 0, log[-3000:]
-    return logs
 
 
 def test_two_process_file_sharding(tmp_path):

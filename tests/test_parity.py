@@ -693,3 +693,42 @@ def test_spread_multi_frame_tile_backtrace(monkeypatch):
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_spread_epsilon_unaligned_states(monkeypatch):
+    """Spread + folded epsilon at a NON-lane-aligned state count: the
+    builder pads states with -inf BEFORE the in-kernel conversion, so the
+    pad lanes become finite log(tiny) in the posterior stream (unlike the
+    natural pipeline's post-conversion -inf pads); exactness must survive
+    because transition/initial pads stay -inf and pads sit at the highest
+    natural indices (ties break low)."""
+    from torbi_tpu.ops import band as band_ops
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'stitched',
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', True,
+                        raising=False)
+
+    rng = np.random.default_rng(101)
+    frames, states, halfwidth = 53, 200, 5  # pads to 256 (M=2)
+    tiny = np.finfo(np.float32).tiny
+    probs = rng.dirichlet(
+        np.ones(states), size=(1, frames)).astype(np.float32)
+    # Zero out some probabilities so real lanes hit log(tiny) exactly --
+    # the same value the converted pad lanes take
+    probs[0, ::7, states - 1] = 0.0
+    probs /= probs.sum(axis=-1, keepdims=True)
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    band = np.clip(halfwidth + 1.0 - np.abs(xx - yy), 0, None)
+    trans = np.log(
+        (band / band.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([frames], dtype=np.int32)
+
+    assert band_ops.detect_band(jnp.asarray(trans))[1] > 0
+    obs_eps = np.log(probs + tiny)
+    expected = oracle.viterbi_numpy(obs_eps, bf, trans, init)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(np.log(probs)), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', apply_epsilon=True))
+    np.testing.assert_array_equal(got, expected)

@@ -219,12 +219,9 @@ def _load_rows(batch, batch_tile, real_batch):
 
 @functools.lru_cache(maxsize=64)
 def _build_backtrace(batch, frames, states_padded, interpret=False,
-                     real_batch=None):
-    import torbi_tpu
-
+                     real_batch=None, looped=True):
     batch_tile, frame_tile = _pick_tiles(batch, frames, states_padded)
     n_frame_tiles = frames // frame_tile
-    looped = getattr(torbi_tpu, 'BACKTRACE_LOOP', True)
     kernel = functools.partial(
         _backtrace_kernel_loop if looped else _backtrace_kernel,
         states_padded=states_padded,
@@ -488,7 +485,12 @@ def backtrace_posteriors(post_seq, transition_padded, posterior,
 
     Returns (batch, frames) int32 decoded indices.
     """
+    import torbi_tpu
+
     batch, frames, states_padded = post_seq.shape
+    # The kernel-flavor config participates in the build cache key so
+    # flipping it after a shape has been built is not silently ignored
     bt = _build_backtrace(batch, frames, states_padded, interpret,
-                          real_batch)
+                          real_batch,
+                          bool(getattr(torbi_tpu, 'BACKTRACE_LOOP', True)))
     return bt(post_seq, transition_padded, posterior, batch_frames)

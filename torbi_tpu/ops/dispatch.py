@@ -648,8 +648,8 @@ def decode(observation, batch_frames, transition, initial, backend=None,
               and batch_p == band_ops.BATCH_TILE
               and bool(getattr(torbi_tpu, 'BAND_BATCH1_SPREAD', False)))
     obs_batch_p = batch if spread else batch_p
-    if batch_p == batch and frames_p == frames:
-        obs, bf = observation, batch_frames
+    if obs_batch_p == batch and frames_p == frames:
+        obs = observation  # a zero-width pad would still copy eagerly
     else:
         # Probability-space inputs pad with 0.0 so the (staged or
         # in-kernel) log maps padded entries to -inf (NEG_INF would log
@@ -666,6 +666,9 @@ def decode(observation, batch_frames, transition, initial, backend=None,
                 observation,
                 ((0, obs_batch_p - batch), (0, frames_p - frames), (0, 0)),
                 constant_values=pad_value)
+    if batch_p == batch:
+        bf = batch_frames
+    else:
         bf = jnp.pad(
             jnp.asarray(batch_frames).astype(jnp.int32),
             (0, batch_p - batch),
