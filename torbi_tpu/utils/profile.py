@@ -207,6 +207,29 @@ def time_stages(observation, batch_frames, transition, initial, iters=8,
         initial, (0, states_p - states), constant_values=float('-inf'))
     bf = jnp.asarray(batch_frames).astype(jnp.int32)
 
+    # The pipeline/e2e stages measure dispatch.decode on the RAW inputs
+    # (dispatch does its own padding and batch-1 specialization); the
+    # standalone kernel stages call the kernels directly, so they need the
+    # dispatch-layer shape contract themselves: batch padded to the 8-row
+    # tile, frames to a bucket (e.g. profiling the batch-1 config)
+    observation_raw, pipeline_observation_raw, bf_raw = (
+        observation, pipeline_observation, bf)
+    batch_k = ((batch + 7) // 8) * 8
+    frames_k = dispatch.bucket_frames(frames)
+    if batch_k != batch or frames_k != frames:
+        observation = jnp.pad(
+            observation,
+            ((0, batch_k - batch), (0, frames_k - frames), (0, 0)),
+            constant_values=float('-inf'))
+        if pipeline_observation is not None and (
+                pipeline_observation.ndim == 4):
+            pipeline_observation = jnp.pad(
+                pipeline_observation,
+                ((0, 0), (0, batch_k - batch), (0, frames_k - frames),
+                 (0, 0)),
+                constant_values=float('-inf'))
+        bf = jnp.pad(bf, (0, batch_k - batch), constant_values=1)
+
     band = band_ops.gate_band(
         band_ops.detect_band(transition), initial,
         observation=None, finite_observation=True)
@@ -284,13 +307,15 @@ def time_stages(observation, batch_frames, transition, initial, iters=8,
 
     _log('stage: staged pipeline')
 
-    # Full staged pipeline (what dispatch.decode dispatches per batch)
+    # Full staged pipeline (what dispatch.decode dispatches per batch) --
+    # RAW inputs: dispatch pads and specializes (e.g. batch-1) itself
     pipe_obs = (
-        observation if pipeline_observation is None else pipeline_observation)
+        observation_raw if pipeline_observation_raw is None
+        else pipeline_observation_raw)
 
     def pipeline():
         return dispatch.decode(
-            pipe_obs, bf, transition, initial, finite_observation=True)
+            pipe_obs, bf_raw, transition, initial, finite_observation=True)
 
     pipeline_ms = time_submissions(
         pipeline, lambda r: r[0, 0], iters) * 1e3
