@@ -173,6 +173,28 @@ def test_constant_transition_fast_path():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_constant_transition_single_frame():
+    """1-frame decodes through the constant-transition closed form: the
+    scalar-carry scan is empty and the argmax seed must come from the
+    initial-distribution column alone"""
+    rng = np.random.default_rng(7)
+    tiny = np.finfo(np.float32).tiny
+    for frames, batch, states in [(1, 1, 40), (1, 3, 129)]:
+        obs = np.log(
+            rng.dirichlet(np.ones(states), size=(batch, frames))
+            .astype(np.float32) + tiny)
+        trans = np.full(
+            (states, states), np.float32(np.log(1.0 / states)), np.float32)
+        init = np.log(
+            rng.dirichlet(np.ones(states)).astype(np.float32) + tiny)
+        bf = np.full(batch, frames, np.int32)
+        expected = oracle.viterbi_numpy(obs, bf, trans, init)
+        got = np.asarray(dispatch_decode(
+            jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+            jnp.asarray(init), backend='pallas', finite_observation=True))
+        np.testing.assert_array_equal(got, expected)
+
+
 def test_band_kernel_folded_epsilon_conversion():
     """log conversion + epsilon stabilization folded into the band kernel's
     observation stream decode exactly like host-side conversion"""
