@@ -67,6 +67,25 @@ def transition_probabilities():
     return (trans / trans.sum(axis=1, keepdims=True)).astype(np.float32)
 
 
+def backend_ready(timeout=600):
+    """Probe the accelerator backend in a subprocess before benchmarking.
+
+    The development TPU tunnel drops out for hours at a time, and a dead
+    backend blocks jax device initialization INSIDE this process forever
+    (no exception to catch). A subprocess probe turns that hang into a
+    fast, loud failure -- and a failed init never poisons this process's
+    jax state.
+    """
+    import subprocess
+    import sys
+    try:
+        return subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            capture_output=True, timeout=timeout).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def emit(metric, value, unit, baseline):
     print(json.dumps({
         'metric': metric,
@@ -389,6 +408,14 @@ def main():
     if args.quick:
         global BATCH, FRAMES, STATES
         BATCH, FRAMES, STATES = 16, 32, 64
+
+    if not backend_ready():
+        import sys
+        print(
+            'bench.py: accelerator backend unreachable (device init hung '
+            'or failed); see BENCH_SELF_r03.json for the last recorded '
+            'real-chip measurements', file=sys.stderr)
+        sys.exit(2)
 
     selected = args.only.split(',') if args.only else [
         'toy', 'batch1', 'chunked', 'files', 'batch512']
