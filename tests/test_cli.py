@@ -53,6 +53,21 @@ def test_config_override(tmp_path):
     assert result.stdout.strip().endswith('7 custom')
 
 
+def test_config_missing_file_clear_error(tmp_path):
+    """--config with a non-path (e.g. a bare name) must fail with a clear
+    FileNotFoundError, not an AttributeError deep inside importlib"""
+    result = subprocess.run(
+        [sys.executable, '-c',
+         ENV_PREAMBLE
+         + 'import sys; '
+         + 'sys.argv = ["prog", "--config", "not-a-file"]; '
+         + 'import torbi_tpu'],
+        capture_output=True, text=True, timeout=120)
+    assert result.returncode != 0
+    assert 'FileNotFoundError' in result.stderr
+    assert 'override file' in result.stderr
+
+
 def test_pitch_transition_matrix():
     from torbi_tpu.models import pitch
     transition = pitch.transition_matrix()

@@ -15,6 +15,13 @@ def _load_module_from_path(path):
     path = Path(path)
     name = f'_torbi_tpu_config_{path.stem}'
     spec = importlib.util.spec_from_file_location(name, path)
+    if spec is None or spec.loader is None:
+        # Surface a clear error instead of an AttributeError deep inside
+        # importlib: --config takes a path to a .py override file
+        # (yapecs semantics), not a bare configuration name
+        raise FileNotFoundError(
+            f'--config expects a Python override file, got {path!r} '
+            '(not a loadable .py path)')
     module = importlib.util.module_from_spec(spec)
     sys.modules[name] = module
     spec.loader.exec_module(module)
