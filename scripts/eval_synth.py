@@ -56,13 +56,17 @@ def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
             # breaks the RPA@0 = 1.0 exactness contract this artifact
             # demonstrates (see bench.synthetic_posteriorgrams)
             'generator': 2}
-    # A pre-meta corpus (built by an older script revision) is trusted as
-    # matching the current invocation; only an explicit mismatch rebuilds
-    # (reference outputs take hours to regenerate).
-    stale = False
+    # A corpus without a matching meta file rebuilds -- including pre-meta
+    # corpora from older script revisions: trusting those once mislabeled a
+    # wrapped-generator corpus as clipped. Regeneration (corpus + reference
+    # outputs) measures ~10-20 min on one core, an acceptable price for a
+    # corpus that provably matches its meta.
+    stale = True
     if meta_path.exists():
         with open(meta_path) as file:
             stale = json.load(file) != meta
+    elif not any(cache.iterdir()):
+        stale = False  # nothing to rebuild; a fresh dir just populates
     if stale:
         shutil.rmtree(cache)
         cache.mkdir(parents=True)
