@@ -233,17 +233,35 @@ def _device_resident_throughput(input_files, trans_path, iters=4):
     total_steps, total_sec = 0, 0.0
     for observation, batch_frames, _, _ in torbi_tpu.data.loader(
             input_files, pad_value=float('-inf'), pack=pack):
-        obs = jnp.asarray(np.asarray(observation))
-        bf = jnp.asarray(np.asarray(batch_frames, dtype=np.int32))
+        observation = np.asarray(observation)
+        batch_frames = np.asarray(batch_frames, dtype=np.int32)
+        packed = observation.ndim == 4
+        rows_total = observation.shape[1 if packed else 0]
+        frames = observation.shape[2 if packed else 1]
+        # Stage row groups the memory guard passes through unsplit (a
+        # 1M-frame chunked file collates into ONE ~19 GB batch; staging it
+        # whole would OOM before the decode even dispatches)
+        rows = dispatch.guard_rows(
+            frames, states, states_in=(
+                observation.shape[0] * 128 if packed
+                else observation.shape[2]),
+            packed=packed)
+        for start in range(0, rows_total, rows):
+            stop = min(start + rows, rows_total)
+            group = (
+                observation[:, start:stop] if packed
+                else observation[start:stop])
+            obs = jnp.asarray(group)
+            bf = jnp.asarray(batch_frames[start:stop])
 
-        def run(obs=obs, bf=bf):
-            return dispatch.decode(
-                obs, bf, trans, initial, apply_epsilon=True)
+            def run(obs=obs, bf=bf):
+                return dispatch.decode(
+                    obs, bf, trans, initial, apply_epsilon=True)
 
-        sec = time_submissions(run, lambda r: r[0, 0], iters=iters)
-        total_steps += int(np.asarray(batch_frames).sum())
-        total_sec += sec
-        del obs
+            sec = time_submissions(run, lambda r: r[0, 0], iters=iters)
+            total_steps += int(batch_frames[start:stop].sum()) * iters
+            total_sec += sec * iters
+            del obs
     return total_steps, total_sec
 
 

@@ -24,7 +24,7 @@ import numpy as np
 import torbi_tpu
 from . import viterbi
 from .utils import io, progress, time
-from .utils.convert import to_jax
+from .utils.convert import to_host_or_jax, to_jax
 
 FP32_TINY = float(np.finfo(np.float32).tiny)
 
@@ -176,7 +176,10 @@ def _dispatch_decode(observation, batch_frames, transition, initial,
     """Prepare inputs and dispatch the decode WITHOUT waiting for the
     result (JAX dispatch is asynchronous); from_dataloader uses this to
     overlap device compute with host saves."""
-    observation = to_jax(observation, jnp.float32)
+    # Host observations stay numpy here: the dispatcher's memory guard
+    # slices oversized batches (e.g. a 1M-frame file's ~1400 chunk rows
+    # collated into ONE batch) before any device transfer
+    observation = to_host_or_jax(observation, np.float32)
     if observation.ndim == 4:
         # mod-M PACKED layout from the data pipeline (data/collate.py):
         # (M, batch, frames, 128) with states interleaved across blocks

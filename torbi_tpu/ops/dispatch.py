@@ -431,6 +431,27 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
             NamedSharding(mesh, spec) for spec in specs))
 
 
+def guard_rows(frames, states, states_in=None, packed=True, n_shards=1):
+    """Batch rows per decode call that fit ``DECODE_MEMORY_BUDGET``.
+
+    The same (obs + posterior stream) footprint estimate the decode memory
+    guard uses, exposed so callers that stage inputs on the device
+    themselves (e.g. bench.py's device-resident metric) can slice host
+    batches into groups the guard will pass through unsplit. Returns a
+    power of two >= 8 (a group IS its own batch bucket).
+    """
+    states_in = states_in if states_in is not None else states
+    frames_est = bucket_frames(frames)
+    states_est = _round_up(states, 128)
+    obs_copies = 1 if packed else 2
+    row_bytes = frames_est * (states_in * obs_copies + states_est) * 4
+    fit = max(8, int(torbi_tpu.DECODE_MEMORY_BUDGET) * n_shards // row_bytes)
+    rows = 8
+    while rows * 2 <= fit:
+        rows *= 2
+    return rows
+
+
 def _timesharded_mesh_size(frames, n_devices):
     """Largest local-device count that divides the sequence length"""
     for n in range(n_devices, 1, -1):
@@ -533,8 +554,14 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     if packed and not finite_observation:
         # The packed fast path requires an asserted-finite observation
         # (the finiteness scan cannot exclude the interleaved pad lanes);
-        # unpack for the general gating/scan path
-        observation = _unpack_packed_fn()(observation)
+        # unpack for the general gating/scan path. Host arrays unpack on
+        # the host so the memory guard below still sees them pre-transfer.
+        if isinstance(observation, np.ndarray):
+            observation = np.ascontiguousarray(
+                observation.transpose(1, 2, 3, 0)).reshape(
+                    batch, frames, states_in)
+        else:
+            observation = _unpack_packed_fn()(observation)
         packed = False
 
     # Exact time-sharded route for single long sequences: forced by
@@ -573,7 +600,10 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             band_ops.detect_band(transition), initial,
             observation=None, finite_observation=True)
         if band is not None and not finite_observation:
-            finite = jnp.isfinite(observation[..., :states])
+            # Host arrays scan on the host: forcing the scan through jnp
+            # would transfer the (possibly guard-oversized) observation
+            xp = np if isinstance(observation, np.ndarray) else jnp
+            finite = xp.isfinite(observation[..., :states])
             if not log_input:
                 finite = finite & (observation[..., :states] > 0)
             if not bool(finite.all()):
@@ -596,11 +626,18 @@ def decode(observation, batch_frames, transition, initial, backend=None,
 
     # Memory guard: the pipeline materializes the observation plus the
     # full posterior stream (~(S + S_padded) * 4 bytes per (row, frame)
-    # cell, with ~2-3x XLA buffer slack on top). A 512-row batch of
-    # 1024-frame chunks at 1440 states wants ~18 GB -- over v5e's 16 GB
-    # HBM -- so oversized batches split into independent halves (batch
-    # rows are independent; bitwise identical results). Sharded calls
-    # spread the stream across chips, so the guard is per shard.
+    # cell, with ~2-3x XLA buffer slack on top). A 1M-frame entropy-chunked
+    # file collates into a single ~1400-row batch of ~1024-frame chunks at
+    # 1440 states -- ~19 GB, over v5e's 16 GB HBM -- so oversized batches
+    # split into independent row groups (batch rows are independent;
+    # bitwise identical results). Sharded calls spread the stream across
+    # chips, so the guard is per shard.
+    #
+    # Host (numpy) observations -- the data-pipeline and file-workload case
+    # -- slice BEFORE any transfer, so the device only ever holds ~two
+    # groups (one decoding, one being fetched); a device-resident input
+    # can only be serialized group by group, since the caller already
+    # holds the whole observation in HBM.
     frames_est = bucket_frames(frames)
     states_est = _round_up(states, 128)
     # The stitched path with a NATURAL-layout observation materializes a
@@ -611,28 +648,47 @@ def decode(observation, batch_frames, transition, initial, backend=None,
     constant_path = (
         band is not None and band[1] == 0 and band[2] is not None
         and backend in ('pallas', 'band'))
-    footprint = (
-        batch * frames_est
+    row_bytes = (
+        frames_est
         * (states_in * obs_copies + (0 if constant_path else states_est))
-        * 4 // n_shards)
-    if footprint > int(torbi_tpu.DECODE_MEMORY_BUDGET) and batch > 8:
-        half = (batch + 1) // 2
-        first_obs = observation[:, :half] if packed else observation[:half]
-        second_obs = observation[:, half:] if packed else observation[half:]
-        first = decode(
-            first_obs, batch_frames[:half], transition, initial,
-            backend=backend, finite_observation=finite_observation,
-            log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
-        # The guard path is the degraded-memory mode: completing the first
-        # half before dispatching the second bounds peak residency (async
-        # queuing would otherwise hold every sub-call's inputs and
-        # intermediates at once)
-        first = jax.block_until_ready(first)
-        second = decode(
-            second_obs, batch_frames[half:], transition, initial,
-            backend=backend, finite_observation=finite_observation,
-            log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
-        return jnp.concatenate([first, second], axis=0)
+        * 4)
+    budget = int(torbi_tpu.DECODE_MEMORY_BUDGET)
+    if batch * row_bytes // n_shards > budget and batch > 8:
+        # Rows per group: the largest power of two under the budget, so
+        # every group IS its own batch bucket (bucket_batch would round a
+        # stray group size up to the next power of two and allocate that)
+        fit = max(8, budget * n_shards // row_bytes)
+        rows = 8
+        while rows * 2 <= fit:
+            rows *= 2
+        host_split = isinstance(observation, np.ndarray)
+        outs, prev = [], None
+        for start in range(0, batch, rows):
+            stop = min(start + rows, batch)
+            obs_g = (
+                observation[:, start:stop] if packed
+                else observation[start:stop])
+            out = decode(
+                obs_g, batch_frames[start:stop], transition, initial,
+                backend=backend, finite_observation=finite_observation,
+                log_input=log_input, apply_epsilon=apply_epsilon, mesh=mesh)
+            if host_split:
+                # Depth-1 pipeline: fetching the previous group (which
+                # frees its device buffers) overlaps this group's
+                # transfer + decode
+                if prev is not None:
+                    outs.append(np.asarray(prev))
+                prev = out
+            else:
+                # Degraded-memory mode for device-resident inputs:
+                # complete each group before dispatching the next (async
+                # queuing would hold every group's intermediates at once
+                # on top of the caller's full observation)
+                outs.append(jax.block_until_ready(out))
+        if host_split:
+            outs.append(np.asarray(prev))
+            return np.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=0)
     # Each shard's slice is padded to its own bucket so all shards run the
     # same kernel shape (per-shard batch is a multiple of the pad multiple)
     batch_p = bucket_batch(-(-batch // n_shards)) * n_shards

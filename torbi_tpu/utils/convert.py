@@ -13,6 +13,25 @@ def to_numpy(array):
     return np.asarray(array)
 
 
+def to_host_or_jax(array, dtype=None):
+    """Jax arrays pass through; anything else becomes a HOST numpy array.
+
+    The decode dispatcher's memory guard (ops/dispatch.py) slices oversized
+    host batches before any device transfer, so API layers must not convert
+    numpy/torch observations to device arrays eagerly.
+    """
+    if array is None:
+        return None
+    if isinstance(array, jnp.ndarray) and not isinstance(array, np.ndarray):
+        return (
+            array if dtype is None or array.dtype == dtype
+            else array.astype(dtype))
+    array = to_numpy(array)
+    if dtype is not None and array.dtype != dtype:
+        array = array.astype(dtype)
+    return array
+
+
 def to_jax(array, dtype=None):
     """Convert torch tensor / numpy / array-like to a jax array"""
     if array is None:

@@ -9,9 +9,10 @@ runner.
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from .ops import dispatch
-from .utils.convert import to_jax
+from .utils.convert import to_host_or_jax, to_jax
 
 
 def decode(
@@ -40,7 +41,11 @@ def decode(
     Returns (batch, frames) int32 decoded state indices.
     """
     del num_threads
-    observation = to_jax(observation, jnp.float32)
+    # Host (numpy/torch) observations stay on the host: the dispatcher's
+    # memory guard slices oversized batches BEFORE any device transfer
+    # (ops/dispatch.py), which only works if the array has not already
+    # been shipped to the device whole
+    observation = to_host_or_jax(observation, np.float32)
     batch_frames = to_jax(batch_frames, jnp.int32)
     transition = to_jax(transition, jnp.float32)
     initial = to_jax(initial, jnp.float32)
