@@ -187,6 +187,45 @@ def test_shard_files_length_aware():
     assert sorted(shards[0] + shards[1]) == files
 
 
+def test_probe_lengths_npy_exact_and_bytes_fallback(tmp_path):
+    from torbi_tpu.parallel.files import probe_lengths
+
+    npy = tmp_path / 'a.npy'
+    np.save(npy, np.zeros((37, 5), np.float32))
+    other = tmp_path / 'b.pt'
+    other.write_bytes(b'x' * 1234)
+    lengths = probe_lengths([npy, other])
+    assert lengths[0] == 37          # parsed from the .npy header
+    assert lengths[1] == 1234        # byte-size fallback
+    assert probe_lengths([tmp_path / 'missing.pt']) is None
+
+
+def test_shard_files_balanced_heavy_tail(tmp_path):
+    """Production path probes lengths itself: a heavy-tailed corpus (one
+    10x file among short ones) balances within ~10% across two hosts,
+    where round-robin would straggle one of them ~5x."""
+    from torbi_tpu.parallel.files import shard_files_balanced
+
+    frames = [4000] + [400] * 10
+    files = []
+    for i, n in enumerate(frames):
+        file = tmp_path / f'{i}.npy'
+        np.save(file, np.zeros((n, 8), np.float32))
+        files.append(file)
+    outs = [tmp_path / f'{i}.out' for i in range(len(files))]
+
+    loads = []
+    shards = []
+    for p in range(2):
+        mine_in, mine_out = shard_files_balanced(
+            files, outs, process_index=p, process_count=2)
+        assert len(mine_in) == len(mine_out)
+        shards += mine_in
+        loads.append(sum(frames[files.index(f)] for f in mine_in))
+    assert sorted(shards) == sorted(files)
+    assert max(loads) / min(loads) <= 1.1
+
+
 def test_time_sharded_matches_oracle():
     """Exact sequence-sharded decode: one sequence's frame axis split over
     the 8-device mesh (associative max-plus scan + one all_gather)"""

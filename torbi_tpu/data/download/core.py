@@ -16,7 +16,7 @@ import torbi_tpu
 from ...utils import progress
 from ...utils.notify import notify_on_finish
 
-DAPS_URL = 'https://zenodo.org/record/4660670/files/daps-segmented.tar.gz?download=1'
+DAPS_URL = 'https://zenodo.org/record/4783456/files/daps-segmented.tar.gz?download=1'
 VCTK_URL = (
     'https://datashare.ed.ac.uk/bitstream/handle/10283/3443/'
     'VCTK-Corpus-0.92.zip')
@@ -52,7 +52,7 @@ def daps():
     if not archive.exists():
         _fetch(DAPS_URL, archive)
     with tarfile.open(archive, 'r:gz') as tar:
-        tar.extractall(directory)
+        tar.extractall(directory, filter='data')
 
     # Rename to {speaker_index:04d}/{count:06d}.wav with volume normalization
     # of quiet audio (reference download/core.py:60-95)

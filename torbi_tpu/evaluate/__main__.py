@@ -1,24 +1,29 @@
+"""CLI: run the accuracy/speed harness over the evaluation corpora.
+
+Flag names match the reference CLI contract (PARITY.md); the harness
+itself lives in evaluate/core.py.
+"""
 import torbi_tpu
 from torbi_tpu.config import ArgumentParser
 
 
 def parse_args():
-    """Parse command-line arguments"""
-    parser = ArgumentParser(description='Perform evaluation')
+    parser = ArgumentParser(
+        description='Score decoding accuracy and speed over pitch corpora')
     parser.add_argument(
         '--datasets',
         nargs='+',
         default=torbi_tpu.DATASETS,
-        help='The datasets to evaluate')
+        help='Corpora to score (subset of the configured DATASETS)')
     parser.add_argument(
         '--gpu',
         type=int,
-        help='The index of the accelerator device to use for evaluation')
+        help='Accelerator device index (default device if omitted)')
     parser.add_argument(
         '--num_threads',
         type=int,
         default=1,
-        help='The number of threads for the CPU reference decoder')
+        help='Worker count for the CPU librosa ground-truth decoder')
     return parser.parse_args()
 
 

@@ -36,17 +36,18 @@ def _stems(dataset):
         return json.load(file)
 
 
-def _process_shard(stems):
-    """This host process's share of the stems (multi-host pods decode
-    disjoint shards; single-process runs keep everything)."""
+def _process_shard(stems, input_files):
+    """This host process's share of (stems, input_files). Multi-host pods
+    decode disjoint shards, balanced by probed file lengths (LPT) so the
+    heavy-tailed speech corpus does not straggle one host; single-process
+    runs keep everything."""
     import jax
 
     if jax.process_count() == 1:
-        return stems
-    from ..parallel.files import shard_files
+        return stems, input_files
+    from ..parallel.files import shard_files_balanced
 
-    mine, _ = shard_files(stems, stems)
-    return mine
+    return shard_files_balanced(input_files, stems)[::-1]
 
 
 def _aggregate_metrics(metrics):
@@ -164,9 +165,10 @@ def _speed(frames):
 
 def _evaluate_dataset(dataset, gpu, num_threads):
     time.reset()
-    stems = _process_shard(_stems(dataset))
+    stems = _stems(dataset)
     input_files = [
         torbi_tpu.CACHE_DIR / dataset / f'{stem}.pt' for stem in stems]
+    stems, input_files = _process_shard(stems, input_files)
 
     target_files = _ensure_targets(dataset, stems, input_files, num_threads)
 

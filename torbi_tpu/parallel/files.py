@@ -7,9 +7,62 @@ aggregation crosses hosts (over DCN). Output files are the synchronization
 artifact -- the skip-if-exists idempotency of the evaluation harness means
 interrupted pod jobs resume per file.
 """
+import os
+
 import jax
 
 import torbi_tpu
+
+
+def probe_lengths(files):
+    """Best-effort per-file frame counts for LPT balancing.
+
+    ``.npy`` headers are parsed exactly (native C++ probe, numpy-header
+    fallback); every other format falls back to byte size, which is
+    proportional to frames whenever the corpus shares one states
+    dimension -- and LPT only needs lengths up to a common scale. Returns
+    None when nothing could be probed (callers fall back to round-robin).
+    """
+    from ..data import native
+
+    lengths = []
+    for file in files:
+        frames = None
+        if str(file).endswith('.npy'):
+            probed = native.probe(file)
+            if probed is None:
+                try:
+                    import numpy as np
+                    with open(file, 'rb') as handle:
+                        version = np.lib.format.read_magic(handle)
+                        shape, _, _ = np.lib.format._read_array_header(
+                            handle, version)
+                    if len(shape) == 2:
+                        probed = shape
+                except Exception:
+                    probed = None
+            if probed is not None:
+                frames = probed[0]
+        if frames is None:
+            try:
+                frames = os.path.getsize(file)
+            except OSError:
+                return None
+        lengths.append(frames)
+    return lengths
+
+
+def shard_files_balanced(input_files, output_files, process_index=None,
+                         process_count=None):
+    """shard_files with lengths probed from the input files (LPT when the
+    probe succeeds, round-robin otherwise)."""
+    if process_count is None:
+        process_count = jax.process_count()
+    lengths = (
+        probe_lengths(input_files) if process_count > 1 else None)
+    return shard_files(
+        input_files, output_files, process_index=process_index,
+        process_count=process_count, lengths=lengths)
 
 
 def shard_files(input_files, output_files, process_index=None,
@@ -55,7 +108,8 @@ def from_files_to_files(
         gpu=None,
         num_threads=None):
     """Multi-host sharded version of torbi_tpu.from_files_to_files"""
-    mine_in, mine_out = shard_files(list(input_files), list(output_files))
+    mine_in, mine_out = shard_files_balanced(
+        list(input_files), list(output_files))
     torbi_tpu.from_files_to_files(
         mine_in,
         mine_out,

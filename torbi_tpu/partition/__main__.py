@@ -1,10 +1,11 @@
-"""CLI: build evaluation partitions (same flags as the reference)."""
+"""CLI: sample evaluation partitions (flag contract in PARITY.md)."""
 import torbi_tpu
 from torbi_tpu.config import ArgumentParser
 
 
 def parse_args():
-    parser = ArgumentParser(description='Partition datasets')
+    parser = ArgumentParser(
+        description='Sample per-dataset evaluation stem lists')
     parser.add_argument(
         '--datasets',
         default=torbi_tpu.DATASETS,
