@@ -1,0 +1,67 @@
+"""A/B the production batch-1 decode: BAND_BATCH1_SPREAD off vs on.
+
+Runs the exact bench.py batch-1 pitch config (10240 frames, 1440-state
+pitch band, mod-M packed observation) through the production dispatch with
+the spread flag both ways, printing steady-state ms/call and timesteps/s
+for each. Run on the real TPU; the decision this script backs is the
+config default (config/defaults.py BAND_BATCH1_SPREAD).
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FRAMES = int(os.environ.get('AB_FRAMES', 10240))
+
+
+def main():
+    import jax.numpy as jnp
+
+    import torbi_tpu
+    from bench import synthetic_posteriorgrams, transition_probabilities
+    from torbi_tpu.core import _default_initial
+    from torbi_tpu.ops.dispatch import decode, pack_observation, padded_states
+    from torbi_tpu.utils.profile import time_submissions
+
+    tiny = np.finfo(np.float32).tiny
+    host = synthetic_posteriorgrams(1, FRAMES, 1440, seed=1)
+    states_p = padded_states(1440)
+    padded = np.full((1, FRAMES, states_p), -np.inf, dtype=np.float32)
+    padded[..., :1440] = host
+    obs = jnp.asarray(pack_observation(padded))
+    bf = jnp.full((1,), FRAMES, jnp.int32)
+    transition = jnp.asarray(
+        np.log(transition_probabilities() + tiny))
+    initial = _default_initial(1440)
+
+    results = {}
+    for spread in (False, True):
+        for window in (False, True):
+            torbi_tpu.BAND_BATCH1_SPREAD = spread
+            torbi_tpu.BACKTRACE_BATCH1_WINDOW = window
+
+            def run():
+                return decode(
+                    obs, bf, transition, initial, apply_epsilon=True)
+
+            sec = time_submissions(run, lambda r: r[0, 0], iters=8)
+            key = f'spread={spread},window={window}'
+            results[key] = {
+                'ms_per_call': round(sec * 1e3, 2),
+                'timesteps_per_second': round(FRAMES / sec),
+            }
+            print(json.dumps({key: results[key]}), flush=True)
+
+    base = results['spread=False,window=False']['ms_per_call']
+    best_key = min(results, key=lambda k: results[k]['ms_per_call'])
+    print(json.dumps({
+        'best': best_key,
+        'speedup_vs_neither': round(
+            base / results[best_key]['ms_per_call'], 3)}))
+
+
+if __name__ == '__main__':
+    main()

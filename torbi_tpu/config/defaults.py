@@ -125,9 +125,25 @@ BACKTRACE_LOOP = True
 # at batch 1 instead hold 8 band-offset-shifted posterior copies, cutting
 # the stitched ALU bill ~5x (36 vs ~187 pairs at the pitch shape) for ~19
 # extra lane rotates per frame (rebuild + slot all-reduce). Bitwise exact
-# (tests/test_parity.py). Default False until measured on hardware; flip
-# after scripts/kernel_lab.py --variants spread shows it pays on v5e.
-BAND_BATCH1_SPREAD = False
+# (tests/test_parity.py). Measured on v5e (scripts/batch1_ab.py, the
+# production 10240-frame pitch config): 15.23 ms/call vs 22.13 ms with the
+# stitched batch-8 kernel -- 1.45x, 672K vs 463K timesteps/s. The isolated
+# kernels (scripts/kernel_lab.py --variants mod12,spread) agree on the
+# direction (2.72 vs 3.33 ms at 512 frames).
+BAND_BATCH1_SPREAD = True
+
+# Batch-1 backtrace flavor: True chases over the band WINDOW of a
+# natural-major relayout of the single real row's posterior stream
+# (ops/backtrace.py::backtrace_posteriors_window) -- each serial chase
+# step loads and reduces window_rows(width) x 128 elements (3 vregs at
+# the pitch shape) instead of the full (8, S_padded) tile, cutting the
+# step's dependency chain (the batch-1 bottleneck: the chase measured
+# 9.0 ms of a 15.2 ms 10240-frame call). The relayout is one XLA
+# transpose over the stream, ~0.2 ms at batch 1. Bitwise exact
+# (tests/test_parity.py); falls back to the full-width mod-M chase when
+# the window does not fit the padded state rows. Default False until
+# measured on hardware; flip after scripts/batch1_ab.py shows it pays.
+BACKTRACE_BATCH1_WINDOW = False
 
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.

@@ -448,6 +448,207 @@ def _build_backtrace12(batch, frames, states_padded, interpret=False,
     return jax.jit(backtrace)
 
 
+def window_rows(width):
+    """128-lane rows a band window must span: the window base is rounded
+    down to a row boundary, so the covered span is (width - 1) + up to 127
+    alignment slack."""
+    return (width - 1 + 127) // 128 + 1
+
+
+def _backtrace_window_kernel(
+        postseq_ref,   # (FT*M, 128) natural-major posterior block at rev(t)
+        trans_ref,     # (S_p*M, 128) natural-major transition, resident
+        seed_ref,      # (1, 1) int32
+        frames_ref,    # (1, 1) int32
+        out_ref,       # out: (8, FT) int32 block at rev(t) (rows identical)
+        idx_ref,       # scratch: (1, 1) int32 chase index, carried over grid
+        col_ref,       # scratch: (FT, 8) int32 transposed decoded columns
+        *,
+        states_padded,
+        frame_tile,
+        n_frame_tiles,
+        lo,
+        n_rows):
+    """Batch-1 chase over a NATURAL-MAJOR posterior stream, reduced over
+    the band window only.
+
+    The full-width chase kernels spend their serial latency on 12-vreg
+    reduction trees and row loads per step. With a single real sequence the
+    posterior stream relayouts cheaply to natural order (dispatch pays one
+    XLA transpose over ~T*S floats), where a transition band window of
+    ``width`` spans ``n_rows`` consecutive 128-lane rows -- so each chase
+    step loads and reduces (n_rows, 128) elements (3 vregs at the pitch
+    shape) instead of (8, S_p) (12 vregs x 8 sublane rows). Layout: row
+    t*M + q of ``postseq_ref`` holds natural states [128q, 128(q+1)) of
+    frame t; ``trans_ref`` row i*M + q likewise for transition row i.
+
+    Bitwise identical to the full-width chase: within a valid frame the
+    running maximum is finite and lives inside the band window (the band
+    gate guarantees finite in-band posteriors), candidates outside the
+    band are -inf in the transition row, and the window is contiguous in
+    natural state order so the lowest-natural-index tie rule is the
+    window-local argmin over a natural-index map.
+    """
+    M = states_padded // 128
+    nf = pl.program_id(0)
+    t0 = (n_frame_tiles - 1 - nf) * frame_tile
+
+    sub = lax.broadcasted_iota(jnp.int32, (n_rows, 128), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+    bf = frames_ref[0, 0]
+
+    @pl.when(nf == 0)
+    def _seed():
+        idx_ref[...] = seed_ref[...]
+
+    def step(k_prev, t):
+        """One chase step t (the predecessor of the index carried in
+        idx_ref, using the posterior column at local frame k_prev)."""
+        ib = idx_ref[0, 0]
+        r0 = jnp.clip(
+            (ib + lo) // 128, 0, M - n_rows).astype(jnp.int32)
+        post_w = postseq_ref[pl.ds(k_prev * M + r0, n_rows), :]
+        trans_w = trans_ref[pl.ds(ib * M + r0, n_rows), :]
+        v = post_w + trans_w
+        nat = (r0 + sub) * 128 + lane
+        mx = jnp.max(v)
+        pred = jnp.min(jnp.where(v == mx, nat, _INT_MAX))
+        new_idx = jnp.where(t <= bf - 1, pred.astype(jnp.int32), ib)
+        idx_ref[0, 0] = new_idx
+        return new_idx
+
+    if n_frame_tiles > 1:
+        # Deferred cross-tile step (module docstring): the carry entering a
+        # non-latest block is index[t0 + FT]; chase it through this block's
+        # LAST column (frame t0 + FT - 1) before the in-block loop
+        @pl.when(nf > 0)
+        def _boundary():
+            step(frame_tile - 1, t0 + frame_tile)
+
+    # Position t0 + FT - 1: the deferred step's result (or the seed)
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.broadcast_to(
+        idx_ref[...], (1, 8))
+
+    def body(i, carry):
+        k = frame_tile - 1 - i
+        new_idx = step(k - 1, t0 + k)
+        col_ref[pl.ds(k - 1, 1), :] = jnp.broadcast_to(
+            new_idx.reshape(1, 1), (1, 8))
+        return carry
+
+    lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
+
+    out_ref[...] = jnp.transpose(col_ref[...])
+
+
+@functools.lru_cache(maxsize=64)
+def _build_backtrace_window(batch, frames, states_padded, lo, width,
+                            interpret=False):
+    if frames % 128 == 0:
+        frame_tile = 128
+    elif frames <= 128 and frames % 8 == 0:
+        frame_tile = frames
+    else:
+        raise ValueError(
+            f'frames must be a multiple of 128 or at most 128 and a '
+            f'multiple of 8; got {frames}')
+    n_frame_tiles = frames // frame_tile
+    M = states_padded // 128
+    n_rows = window_rows(width)
+    assert n_rows <= M and batch == 8
+    kernel = functools.partial(
+        _backtrace_window_kernel,
+        states_padded=states_padded,
+        frame_tile=frame_tile,
+        n_frame_tiles=n_frame_tiles,
+        lo=lo,
+        n_rows=n_rows)
+
+    def rev(t):
+        return n_frame_tiles - 1 - t
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_frame_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (frame_tile * M, 128),
+                lambda t: (rev(t), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (states_padded * M, 128),
+                lambda t: (0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, frame_tile),
+            lambda t: (0, rev(t)),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, frames), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=frames * 8 * n_rows * 128,
+            bytes_accessed=(
+                frames * states_padded * 4
+                + states_padded * states_padded * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1), jnp.int32),
+            pltpu.VMEM((frame_tile, 8), jnp.int32),
+        ],
+        interpret=interpret)
+
+    def backtrace(post12_row0, trans_padded, posterior12, batch_frames):
+        # Relayout the single real row's M-major stream to natural order:
+        # (M, T, 128) -> (T, 128, M) -> (T, S_p); flattening (lane l,
+        # residue r) gives natural M*l + r. One XLA transpose over the
+        # stream -- ~T*S_p floats, cheap at batch 1.
+        nat_stream = jnp.transpose(post12_row0, (1, 2, 0)).reshape(
+            frames, states_padded)
+        post2d = nat_stream.reshape(frames * M, 128)
+        trans2d = trans_padded.reshape(states_padded * M, 128)
+        # Natural final posterior for the seed (row 0 only)
+        post_nat = jnp.transpose(posterior12, (1, 0)).reshape(
+            states_padded)
+        seed = jnp.argmax(post_nat).astype(jnp.int32)
+        return call(
+            post2d,
+            trans2d,
+            seed.reshape(1, 1),
+            batch_frames[:1].astype(jnp.int32).reshape(1, 1))
+
+    return jax.jit(backtrace)
+
+
+def backtrace_posteriors_window(post_seq12, trans_padded, posterior12,
+                                batch_frames, band, interpret=False):
+    """Batch-1 band-windowed backtrace of the stitched posterior stream.
+
+    post_seq12: (M, 8, frames, 128) float32 mod-M stream whose 8 batch
+        rows all describe the SAME single sequence (the batch-1 pad rows,
+        or the spread kernel's replicas); only row 0 is consumed
+    trans_padded: (S_p, S_p) float32 NATURAL layout (not column-permuted)
+    posterior12: (M, 8, 128) float32 final posterior
+    band: (lo, width, floor) from detect_band
+    real semantics/tie rules: see backtrace_posteriors12 -- outputs are
+    bitwise identical on row 0; all 8 output rows carry the row-0 result
+
+    Returns (8, frames) int32 decoded natural indices.
+    """
+    _, batch, frames, _ = post_seq12.shape
+    states_padded = post_seq12.shape[0] * 128
+    bt = _build_backtrace_window(
+        batch, frames, states_padded, int(band[0]), int(band[1]), interpret)
+    return bt(post_seq12[:, 0], trans_padded, posterior12[:, 0],
+              batch_frames)
+
+
 def backtrace_posteriors12(post_seq12, trans_perm, posterior12,
                            batch_frames, interpret=False, real_batch=None):
     """Backtrace the stitched kernel's M-major posterior stream.

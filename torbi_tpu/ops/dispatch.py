@@ -50,8 +50,22 @@ _trans_prep_cache = {}
 _init_prep_cache = {}
 
 
+def _use_window_chase(band, states_p, single):
+    """The batch-1 band-windowed backtrace (backtrace_posteriors_window)
+    applies when a single real sequence rides the stitched path and the
+    band window fits inside the padded state rows."""
+    if not single or band is None or band[1] <= 0:
+        return False
+    if str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) != 'stitched':
+        return False
+    if not bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)):
+        return False
+    from .backtrace import window_rows
+    return window_rows(int(band[1])) <= states_p // 128
+
+
 def _prepare_padded(transition, initial, states, states_p, band,
-                    spread=False):
+                    spread=False, window=False):
     layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
 
     def trans_compute():
@@ -78,16 +92,19 @@ def _prepare_padded(transition, initial, states, states_p, band,
             # The mod-M backtrace consumes the forward's M-major posterior
             # stream directly; the transition it adds per chase step needs
             # its COLUMNS in the assembled-lane order s' = r*128 + l
-            # (natural M*l + r). Permute once per transition here.
-            M = states_p // 128
-            sprime = np.arange(states_p)
-            nat = (sprime % 128) * M + sprime // 128
-            trans_p = trans_p[:, jnp.asarray(nat.astype(np.int32))]
+            # (natural M*l + r). Permute once per transition here. The
+            # batch-1 windowed chase instead consumes the NATURAL layout
+            # (it relayouts the single-row stream, not the transition).
+            if not window:
+                M = states_p // 128
+                sprime = np.arange(states_p)
+                nat = (sprime % 128) * M + sprime // 128
+                trans_p = trans_p[:, jnp.asarray(nat.astype(np.int32))]
         return trans_p, band_matrix
 
     trans_p, band_matrix = _identity_cached(
         _trans_prep_cache, transition, trans_compute,
-        extra_key=(states_p, band, layout, spread))
+        extra_key=(states_p, band, layout, spread, window))
 
     def init_compute():
         return jnp.pad(
@@ -202,6 +219,7 @@ def _config_key():
         float(torbi_tpu.LSE_BETA),
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', 8)),
         str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
+        bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)),
     )
 
 
@@ -374,12 +392,18 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
         # column-permuted from _prepare_padded) -- no relayout copy
         layout = str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
         use12 = layout == 'stitched' and band[1] > 0
+        # Batch-1: chase over the band window only (trans_p arrives in its
+        # NATURAL layout from _prepare_padded in this case)
+        window = (
+            use12 and batch_p == band_ops.BATCH_TILE and mesh_key is None
+            and _use_window_chase(band, states_p, single))
 
         def pipeline(observation, batch_frames, trans_p, init_p,
                      band_matrix):
             obs = observation if fold_obs else convert(observation)
             if use12:
-                from .backtrace import backtrace_posteriors12
+                from .backtrace import (
+                    backtrace_posteriors12, backtrace_posteriors_window)
                 post12, posterior12 = band_ops.viterbi_forward_band(
                     obs, batch_frames, trans_p, init_p, band,
                     interpret=interpret,
@@ -387,6 +411,10 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                     apply_epsilon=(apply_epsilon and fold_obs),
                     band_matrix=band_matrix, raw12=True, packed=packed,
                     spread=spread)
+                if window:
+                    return backtrace_posteriors_window(
+                        post12, trans_p, posterior12, batch_frames,
+                        band, interpret=interpret)
                 return backtrace_posteriors12(
                     post12, trans_p, posterior12, batch_frames,
                     interpret=interpret, real_batch=real_batch)
@@ -738,8 +766,14 @@ def decode(observation, batch_frames, transition, initial, backend=None,
         indices = fn(obs, bf, transition, initial)
     else:
         states_p = _round_up(states, 128)
+        window = (
+            batch_p == band_ops.BATCH_TILE and mesh_key is None
+            and str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled'))
+            == 'stitched'
+            and _use_window_chase(band, states_p, single))
         trans_p, init_p, band_matrix = _prepare_padded(
-            transition, initial, states, states_p, band, spread=spread)
+            transition, initial, states, states_p, band, spread=spread,
+            window=window)
         if band is not None:
             indices = fn(obs, bf, trans_p, init_p, band_matrix)
         else:
