@@ -251,3 +251,43 @@ def test_batch1_spread_pitch_matches_oracle_tpu(monkeypatch):
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got_spread, expected)
+
+
+@requires_tpu
+@pytest.mark.parametrize('spread', [False, True])
+def test_batch1_window_backtrace_matches_oracle_tpu(monkeypatch, spread):
+    """The batch-1 band-windowed backtrace (BACKTRACE_BATCH1_WINDOW)
+    through real Mosaic lowering -- dynamic sublane-slice loads of the
+    natural-major stream -- at the pitch configuration, with the spread
+    forward both off and on, incl. a frozen padded tail."""
+    import torbi_tpu
+    from torbi_tpu.models import pitch
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode
+
+    rng = np.random.default_rng(31)
+    tiny = np.finfo(np.float32).tiny
+    frames, states = 57, 1440  # buckets to 64; frozen tail
+
+    centers = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(1, 64)), axis=1) + 720,
+        0, states - 1)
+    bins = np.arange(states, dtype=np.float32)[None, None, :]
+    logits = -0.5 * (
+        (bins - centers[..., None].astype(np.float32)) / 2.5) ** 2
+    obs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+    obs = np.log(np.exp(obs.astype(np.float32)) + tiny)[:, :frames]
+
+    trans = np.log(pitch.transition_matrix() + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.array([frames - 5], dtype=np.int32)
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', spread,
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True,
+                        raising=False)
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
