@@ -409,6 +409,18 @@ def bench_files(n_files=256, seed=3):
             wall_s = time.perf_counter() - start
             decode_s = timing.results()['torbi']
 
+        # Record whether the GIL-free native loader assembled batches in
+        # the stitched kernel's packed layout (the production fast path)
+        from torbi_tpu.core import _pack_eligible
+        from torbi_tpu.data import native
+        from torbi_tpu.utils import io
+        tiny = np.finfo(np.float32).tiny
+        trans_log = np.log(io.load(trans_path) + tiny)
+        packed_engaged = float(
+            native.available()
+            and bool(_pack_eligible(trans_log, None, True, None)))
+        emit('files_native_packed_loader', packed_engaged, 'bool', 1.0)
+
         # Device-resident metric: same batches, transfers excluded
         steps, seconds = _device_resident_throughput(inputs, trans_path)
 

@@ -138,11 +138,18 @@ BAND_BATCH1_SPREAD = True
 # step loads and reduces window_rows(width) x 128 elements (3 vregs at
 # the pitch shape) instead of the full (8, S_padded) tile, cutting the
 # step's dependency chain (the batch-1 bottleneck: the chase measured
-# 9.0 ms of a 15.2 ms 10240-frame call). The relayout is one XLA
-# transpose over the stream, ~0.2 ms at batch 1. Bitwise exact
+# 9.0 ms of a 15.2 ms 10240-frame call). Bitwise exact
 # (tests/test_parity.py); falls back to the full-width mod-M chase when
-# the window does not fit the padded state rows. Default False until
-# measured on hardware; flip after scripts/batch1_ab.py shows it pays.
+# the window does not fit the padded state rows.
+#
+# MEASURED SLOWER on v5e (scripts/batch1_ab.py, 10240-frame pitch):
+# 16.87 ms vs 15.50 ms with spread on, 23.27 vs 21.99 with spread off.
+# The serial chase is bound by per-step FIXED latency (scalar extract ->
+# dynamic address -> VMEM load -> reduce chain), not reduction width --
+# shrinking the reduction from 12 vregs to 3 saved less than the
+# mod-M -> natural relayout transpose cost. Kept (default off) as a
+# recorded negative result; revisit only with a transpose-free natural
+# stream emission.
 BACKTRACE_BATCH1_WINDOW = False
 
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the

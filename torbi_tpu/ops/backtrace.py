@@ -499,7 +499,8 @@ def _backtrace_window_kernel(
 
     @pl.when(nf == 0)
     def _seed():
-        idx_ref[...] = seed_ref[...]
+        # idx_ref lives in SMEM: scalar stores to VMEM do not lower
+        idx_ref[0, 0] = seed_ref[0, 0]
 
     def step(k_prev, t):
         """One chase step t (the predecessor of the index carried in
@@ -526,14 +527,13 @@ def _backtrace_window_kernel(
             step(frame_tile - 1, t0 + frame_tile)
 
     # Position t0 + FT - 1: the deferred step's result (or the seed)
-    col_ref[frame_tile - 1:frame_tile, :] = jnp.broadcast_to(
-        idx_ref[...], (1, 8))
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.full(
+        (1, 8), idx_ref[0, 0], jnp.int32)
 
     def body(i, carry):
         k = frame_tile - 1 - i
         new_idx = step(k - 1, t0 + k)
-        col_ref[pl.ds(k - 1, 1), :] = jnp.broadcast_to(
-            new_idx.reshape(1, 1), (1, 8))
+        col_ref[pl.ds(k - 1, 1), :] = jnp.full((1, 8), new_idx, jnp.int32)
         return carry
 
     lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
@@ -599,7 +599,7 @@ def _build_backtrace_window(batch, frames, states_padded, lo, width,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         scratch_shapes=[
-            pltpu.VMEM((1, 1), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
             pltpu.VMEM((frame_tile, 8), jnp.int32),
         ],
         interpret=interpret)

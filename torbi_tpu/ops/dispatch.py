@@ -220,6 +220,7 @@ def _config_key():
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', 8)),
         str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
         bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)),
+        int(getattr(torbi_tpu, 'CONSTANT_SCAN_UNROLL', 8)),
     )
 
 
@@ -360,7 +361,8 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
 
             tgrid = jnp.arange(1, frames_n, dtype=jnp.int32)
             _, ms = lax.scan(
-                body, g0, (jnp.transpose(mo[:, 1:]), tgrid), unroll=8)
+                body, g0, (jnp.transpose(mo[:, 1:]), tgrid),
+                unroll=int(getattr(torbi_tpu, 'CONSTANT_SCAN_UNROLL', 8)))
             ms = jnp.transpose(ms)                         # (B, T-1)
 
             # Backpointers: first-argmax of fl(post + floor) per frame
