@@ -1,10 +1,13 @@
-"""A/B the production batch-1 decode: BAND_BATCH1_SPREAD off vs on.
+"""A/B the production batch-1 decode: spread forward off/on x chase flavor.
 
 Runs the exact bench.py batch-1 pitch config (10240 frames, 1440-state
-pitch band, mod-M packed observation) through the production dispatch with
-the spread flag both ways, printing steady-state ms/call and timesteps/s
-for each. Run on the real TPU; the decision this script backs is the
-config default (config/defaults.py BAND_BATCH1_SPREAD).
+pitch band, mod-M packed observation) through the production dispatch for
+each combination of BAND_BATCH1_SPREAD and the backtrace-chase flavor
+(full mod-M / band-windowed / fused pair-tree), printing steady-state
+ms/call and timesteps/s for each. Run on the real TPU; the decisions this
+script backs are the config defaults (config/defaults.py
+BAND_BATCH1_SPREAD, BACKTRACE_BATCH1_WINDOW, BACKTRACE_BATCH1_FUSED).
+AB_CHASES limits the chase list (e.g. AB_CHASES=full,fused).
 """
 import json
 import os
@@ -38,28 +41,32 @@ def main():
     initial = _default_initial(1440)
 
     results = {}
+    chases = os.environ.get('AB_CHASES', 'full,window,fused').split(',')
     for spread in (False, True):
-        for window in (False, True):
+        for chase in chases:
             torbi_tpu.BAND_BATCH1_SPREAD = spread
-            torbi_tpu.BACKTRACE_BATCH1_WINDOW = window
+            torbi_tpu.BACKTRACE_BATCH1_WINDOW = chase == 'window'
+            torbi_tpu.BACKTRACE_BATCH1_FUSED = chase == 'fused'
 
             def run():
                 return decode(
                     obs, bf, transition, initial, apply_epsilon=True)
 
             sec = time_submissions(run, lambda r: r[0, 0], iters=8)
-            key = f'spread={spread},window={window}'
+            key = f'spread={spread},chase={chase}'
             results[key] = {
                 'ms_per_call': round(sec * 1e3, 2),
                 'timesteps_per_second': round(FRAMES / sec),
             }
             print(json.dumps({key: results[key]}), flush=True)
 
-    base = results['spread=False,window=False']['ms_per_call']
+    base = results.get(
+        'spread=False,chase=full',
+        results[next(iter(results))])['ms_per_call']
     best_key = min(results, key=lambda k: results[k]['ms_per_call'])
     print(json.dumps({
         'best': best_key,
-        'speedup_vs_neither': round(
+        'speedup_vs_full_chase': round(
             base / results[best_key]['ms_per_call'], 3)}))
 
 

@@ -39,7 +39,7 @@ STATES_P = 1536
 M = STATES_P // 128
 
 
-def _build(variant, frames, frame_tile=128):
+def _build(variant, frames, frame_tile=128, unroll=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -70,15 +70,31 @@ def _build(variant, frames, frame_tile=128):
             ib = idx_ref[0, 0]
             idx_ref[0, 0] = (ib * 5 + k) % STATES_P
 
-        def step_v2s_floor(k):
+        def step_scalar_nomod(k):
+            # Modulo by a non-power-of-2 may lower to an expensive scalar
+            # division; mask instead to expose the bare loop floor
             ib = idx_ref[0, 0]
-            row = trans_ref[pl.ds(ib, 1), :128]
+            idx_ref[0, 0] = (ib * 5 + k) & 1023
+
+        def step_v2s_nomod(k):
+            ib = idx_ref[0, 0]
+            row = trans_ref[pl.ds(ib, 1), :][:, :128]
+            nxt = row[0, 0].astype(jnp.int32) & 1023
+            idx_ref[0, 0] = (nxt + k) & 1023
+
+        def step_v2s_floor(k):
+            # Dynamic sublane loads must span the block's full lane width
+            # (Mosaic: "dynamic load with unaligned indices" otherwise);
+            # the lane narrowing is a static register slice after the load
+            ib = idx_ref[0, 0]
+            row = trans_ref[pl.ds(ib, 1), :][:, :128]
             nxt = row[0, 0].astype(jnp.int32) % STATES_P
             idx_ref[0, 0] = (nxt + k) % STATES_P
 
         def step_tree1(k):
             ib = idx_ref[0, 0]
-            v = trans_ref[pl.ds(ib, 1), :128] + post_ref[pl.ds(k, 1), :128]
+            v = (trans_ref[pl.ds(ib, 1), :][:, :128]
+                 + post_ref[pl.ds(k, 1), :][:, :128])
             i = lane
             for shift in (64, 32, 16, 8, 4, 2, 1):
                 v, i = pair(
@@ -118,19 +134,35 @@ def _build(variant, frames, frame_tile=128):
                 jnp.where(v == mx, nat, INT_MAX), axis=1, keepdims=True)
             idx_ref[0, 0] = pred[0, 0] % STATES_P
 
+        def step_two_trees_nomod(k):
+            # The production-shaped candidate: (1, S) row + posterior
+            # column, Mosaic-native max then argmin-of-ties reductions,
+            # no modulo anywhere in the chain
+            ib = idx_ref[0, 0]
+            v = trans_ref[pl.ds(ib, 1), :] + post_ref[pl.ds(k, 1), :]
+            nat = (lax.broadcasted_iota(jnp.int32, (1, STATES_P), 1)
+                   % 128) * M
+            mx = jnp.max(v, axis=1, keepdims=True)
+            pred = jnp.min(
+                jnp.where(v == mx, nat, INT_MAX), axis=1, keepdims=True)
+            idx_ref[0, 0] = pred[0, 0] & 1023
+
         step = {
             'scalar_only': step_scalar_only,
+            'scalar_nomod': step_scalar_nomod,
             'v2s_floor': step_v2s_floor,
+            'v2s_nomod': step_v2s_nomod,
             'tree1': step_tree1,
             'tree12': step_tree12,
             'two_trees': step_two_trees,
+            'two_trees_nomod': step_two_trees_nomod,
         }[variant]
 
         def body(i, carry):
             step(frame_tile - 1 - i)
             return carry
 
-        lax.fori_loop(0, frame_tile, body, 0, unroll=False)
+        lax.fori_loop(0, frame_tile, body, 0, unroll=unroll)
         out_ref[0, 0] = idx_ref[0, 0]
 
     grid = (n_tiles,)
@@ -162,6 +194,9 @@ def main():
         default='scalar_only,v2s_floor,tree1,tree12,two_trees')
     parser.add_argument('--frames', type=int, default=FRAMES)
     parser.add_argument('--iters', type=int, default=8)
+    parser.add_argument(
+        '--unroll', type=int, default=0,
+        help='unroll factor for the frame loop (0 = no unrolling)')
     args = parser.parse_args()
 
     import jax
@@ -177,7 +212,7 @@ def main():
 
     results = {}
     for variant in args.variants.split(','):
-        call = _build(variant, args.frames)
+        call = _build(variant, args.frames, unroll=args.unroll or False)
 
         def run(call=call):
             return call(trans, post)

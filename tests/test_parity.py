@@ -721,6 +721,75 @@ def test_batch1_window_backtrace_matches_full_chase(monkeypatch, spread):
     assert bt.window_rows(301) == 4
 
 
+@pytest.mark.parametrize('spread', [False, True])
+def test_batch1_fused_backtrace_matches_full_chase(monkeypatch, spread):
+    """BACKTRACE_BATCH1_FUSED chases with the single associative
+    (value, natural-index) pair tree
+    (ops/backtrace.py::backtrace_posteriors12_fused1). Decoded paths must
+    be bitwise identical to the full-width mod-M chase -- including
+    lowest-index ties (a flat in-band transition), frozen padded frames,
+    an asymmetric band, and multiple 128-frame chase tiles -- with the
+    spread forward both off and on."""
+    from torbi_tpu.ops import backtrace as bt
+    from torbi_tpu.ops import dispatch
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'stitched',
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', spread,
+                        raising=False)
+    calls = []
+    orig = bt._build_backtrace12_fused1
+
+    def spy(*args, **kwargs):
+        calls.append(args)
+        return orig(*args, **kwargs)
+    monkeypatch.setattr(bt, '_build_backtrace12_fused1', spy)
+
+    rng = np.random.default_rng(31)
+    frames, states, halfwidth = 200, 384, 11  # bucket 256: two chase tiles
+    tiny = np.finfo(np.float32).tiny
+    obs = np.log(
+        rng.dirichlet(np.ones(states), size=(1, frames))
+        .astype(np.float32) + tiny)
+    # Asymmetric FLAT in-band transition: every in-band candidate ties on
+    # the transition term, so the fused tree's lowest-natural-index
+    # combine decides constantly
+    xx, yy = np.meshgrid(np.arange(states), np.arange(states), indexing='ij')
+    band = (np.abs(xx - yy + 4) <= halfwidth).astype(np.float32)
+    trans = np.log(
+        (band / band.sum(axis=1, keepdims=True)).astype(np.float32) + tiny)
+    init = np.log(np.full(states, 1.0 / states, dtype=np.float32) + tiny)
+    bf = np.array([157], dtype=np.int32)  # frozen tail inside tile 2
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', True,
+                        raising=False)
+    got = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+    assert calls, 'fused chase did not engage'
+
+    # Fused takes precedence over the windowed chase when both are on
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True,
+                        raising=False)
+    assert not dispatch._use_window_chase(
+        (-15, 2 * halfwidth + 1, None), 384, True)
+
+    # Flag off: the full-width mod-M chase decodes identically
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False,
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', False,
+                        raising=False)
+    calls.clear()
+    got_full = np.asarray(dispatch_decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got_full, expected)
+    assert not calls
+
+
 def test_constant_transition_parallel_backtrace_exact_ties():
     """The width-0 (constant transition) path's PARALLEL backtrace: the
     chase collapses to per-frame first-argmax of post + floor. Engineered

@@ -152,6 +152,18 @@ BAND_BATCH1_SPREAD = True
 # stream emission.
 BACKTRACE_BATCH1_WINDOW = False
 
+# Batch-1 backtrace flavor: True chases with the FUSED pair-tree kernel
+# (ops/backtrace.py::backtrace_posteriors12_fused1) -- full width like
+# the general mod-M chase (no relayout, same permuted transition), but
+# the serial step keeps its index in SMEM (no scratch round trip),
+# touches only the (1, S_padded) real row instead of the (8, S_padded)
+# tile, and resolves argmax + lowest-natural-index ties in ONE
+# associative (value, index) reduction tree instead of two sequential
+# full-width reductions. Attacks exactly the per-step fixed latency the
+# windowed experiment showed was binding. Bitwise exact
+# (tests/test_parity.py). Takes precedence over BACKTRACE_BATCH1_WINDOW.
+BACKTRACE_BATCH1_FUSED = False
+
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
 # (640 and 1536 catch sequences just over a power of two -- e.g. entropy

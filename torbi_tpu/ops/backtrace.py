@@ -649,6 +649,186 @@ def backtrace_posteriors_window(post_seq12, trans_padded, posterior12,
               batch_frames)
 
 
+def _backtrace12_fused1_kernel(
+        postseq_ref,   # (M, 1, FT, 128) mod-M posterior, batch row 0 only
+        trans_ref,     # (S_p, S_p): natural rows, mod-M-PERMUTED columns
+        seed_ref,      # (1, 1) int32
+        frames_ref,    # (1, 1) int32
+        out_ref,       # out: (8, FT) int32 block at (0, rev) (rows equal)
+        idx_ref,       # scratch: SMEM (1, 1) int32 chase index (natural)
+        col_ref,       # scratch: VMEM (FT, 8) int32 transposed columns
+        *,
+        states_padded,
+        frame_tile,
+        n_frame_tiles):
+    """Batch-1 chase with a lean single-row reduction step.
+
+    The serial chain of the general mod-M chase spends each step on a
+    scratch round trip (transition row -> rows_ref -> reload) and
+    (8, S_p) ALU work for one real row. Here the chase index lives in
+    SMEM (no vector round trip to carry it), the dynamically loaded
+    transition row is consumed in-register, and only the (1, S_p) real
+    row is touched; the argmax + lowest-natural-index-tie resolves with
+    Mosaic's NATIVE cross-lane max + argmin-of-ties reductions, which
+    measured ~220 ns/step FASTER than a hand-built 7-level lane-rotate
+    (value, index) pair tree (scripts/chase_lab.py: two_trees 710 vs
+    tree12 926 ns/step; the step shape here is two_trees_nomod,
+    653 ns/step vs the 479 ns/step bare load->extract floor).
+
+    Consumes the stitched forward's stream directly: block r, lane l
+    hold natural state M*l + r, so the assembled (1, S_p) column is a
+    lane-concatenate of the M (1, 128) blocks (register renaming, no
+    data movement) and the tie rule minimizes over the same
+    natural-index map as ``backtrace_posteriors12`` -- identical
+    operands (permuted transition columns), row 0 only.
+    """
+    M = states_padded // 128
+    nf = pl.program_id(0)
+    t0 = (n_frame_tiles - 1 - nf) * frame_tile
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, states_padded), 1)
+    nat_idx = (lane % 128) * M + lane // 128
+    bf = frames_ref[0, 0]
+
+    @pl.when(nf == 0)
+    def _seed():
+        idx_ref[0, 0] = seed_ref[0, 0]
+
+    def step(k_prev, t):
+        """One chase step t (the predecessor of the carried index, from
+        the posterior column at local frame k_prev)."""
+        ib = idx_ref[0, 0]
+        row = trans_ref[pl.ds(ib, 1), :]
+        col = jnp.concatenate(
+            [postseq_ref[r, :, k_prev, :] for r in range(M)], axis=1)
+        v = row + col
+        mx = jnp.max(v, axis=1, keepdims=True)
+        pred = jnp.min(
+            jnp.where(v == mx, nat_idx, _INT_MAX), axis=1, keepdims=True)
+        new_idx = jnp.where(t <= bf - 1, pred[0, 0], ib)
+        idx_ref[0, 0] = new_idx
+        return new_idx
+
+    if n_frame_tiles > 1:
+        # Deferred cross-tile step (module docstring): the carry entering a
+        # non-latest block is index[t0 + FT]; chase it through this block's
+        # LAST column (frame t0 + FT - 1) before the in-block loop
+        @pl.when(nf > 0)
+        def _boundary():
+            step(frame_tile - 1, t0 + frame_tile)
+
+    # Position t0 + FT - 1: the deferred step's result (or the seed)
+    col_ref[frame_tile - 1:frame_tile, :] = jnp.full(
+        (1, 8), idx_ref[0, 0], jnp.int32)
+
+    def body(i, carry):
+        k = frame_tile - 1 - i
+        new_idx = step(k - 1, t0 + k)
+        col_ref[pl.ds(k - 1, 1), :] = jnp.full((1, 8), new_idx, jnp.int32)
+        return carry
+
+    lax.fori_loop(0, frame_tile - 1, body, 0, unroll=False)
+
+    out_ref[...] = jnp.transpose(col_ref[...])
+
+
+@functools.lru_cache(maxsize=64)
+def _build_backtrace12_fused1(batch, frames, states_padded, interpret=False):
+    if frames % 128 == 0:
+        frame_tile = 128
+    elif frames <= 128 and frames % 8 == 0:
+        frame_tile = frames
+    else:
+        raise ValueError(
+            f'frames must be a multiple of 128 or at most 128 and a '
+            f'multiple of 8; got {frames}')
+    n_frame_tiles = frames // frame_tile
+    M = states_padded // 128
+    assert batch == 8
+    kernel = functools.partial(
+        _backtrace12_fused1_kernel,
+        states_padded=states_padded,
+        frame_tile=frame_tile,
+        n_frame_tiles=n_frame_tiles)
+
+    def rev(t):
+        return n_frame_tiles - 1 - t
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_frame_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (M, 1, frame_tile, 128),
+                lambda t: (0, 0, rev(t), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (states_padded, states_padded),
+                lambda t: (0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, frame_tile),
+            lambda t: (0, rev(t)),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, frames), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=frames * 10 * states_padded,
+            bytes_accessed=(
+                frames * states_padded * 4
+                + states_padded * states_padded * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.VMEM((frame_tile, 8), jnp.int32),
+        ],
+        interpret=interpret)
+
+    def backtrace(post_seq12, trans_perm, posterior12, batch_frames):
+        # Lowest-NATURAL-index argmax of row 0's final posterior seeds the
+        # chase (posterior12[r, 0, l] holds natural state M*l + r) --
+        # bitwise the backtrace_posteriors12 seed for row 0
+        nat = (
+            jnp.arange(128, dtype=jnp.int32)[None, :] * M
+            + jnp.arange(M, dtype=jnp.int32)[:, None])
+        p0 = posterior12[:, 0]
+        mx = jnp.max(p0)
+        seed = jnp.min(
+            jnp.where(p0 == mx, nat, _INT_MAX)).astype(jnp.int32)
+        return call(
+            post_seq12,
+            trans_perm,
+            seed.reshape(1, 1),
+            batch_frames[:1].astype(jnp.int32).reshape(1, 1))
+
+    return jax.jit(backtrace)
+
+
+def backtrace_posteriors12_fused1(post_seq12, trans_perm, posterior12,
+                                  batch_frames, interpret=False):
+    """Batch-1 fused pair-tree backtrace of the stitched posterior stream.
+
+    Same operands as ``backtrace_posteriors12`` (M-major stream, permuted
+    transition columns); only batch row 0 is consumed (the batch-1 pad
+    rows, or the spread kernel's replicas, are never touched). Returns
+    (8, frames) int32 decoded natural indices with all 8 rows carrying
+    the row-0 result, bitwise identical to ``backtrace_posteriors12``
+    row 0 -- the fused (max, lowest-natural-index-on-tie) combine is
+    associative, so the single tree reproduces the two-reduction answer.
+    """
+    _, batch, frames, _ = post_seq12.shape
+    states_padded = post_seq12.shape[0] * 128
+    bt = _build_backtrace12_fused1(batch, frames, states_padded, interpret)
+    return bt(post_seq12, trans_perm, posterior12, batch_frames)
+
+
 def backtrace_posteriors12(post_seq12, trans_perm, posterior12,
                            batch_frames, interpret=False, real_batch=None):
     """Backtrace the stitched kernel's M-major posterior stream.

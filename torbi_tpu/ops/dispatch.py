@@ -50,6 +50,20 @@ _trans_prep_cache = {}
 _init_prep_cache = {}
 
 
+def _use_fused_chase(band, single):
+    """The batch-1 fused pair-tree backtrace
+    (backtrace_posteriors12_fused1) applies when a single real sequence
+    rides the stitched path: full-width like the general mod-M chase
+    (same permuted-transition operand), but the serial step drops the
+    scratch round trip, the 7 idle pad rows, and one of the two
+    sequential reduction trees."""
+    if not single or band is None or band[1] <= 0:
+        return False
+    if str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) != 'stitched':
+        return False
+    return bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False))
+
+
 def _use_window_chase(band, states_p, single):
     """The batch-1 band-windowed backtrace (backtrace_posteriors_window)
     applies when a single real sequence rides the stitched path and the
@@ -59,6 +73,10 @@ def _use_window_chase(band, states_p, single):
     if str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) != 'stitched':
         return False
     if not bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)):
+        return False
+    # The fused full-width chase takes precedence (it keeps the permuted
+    # transition prep and measured faster than the windowed variant)
+    if _use_fused_chase(band, single):
         return False
     from .backtrace import window_rows
     return window_rows(int(band[1])) <= states_p // 128
@@ -220,6 +238,7 @@ def _config_key():
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', 8)),
         str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
         bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)),
+        bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False)),
         int(getattr(torbi_tpu, 'CONSTANT_SCAN_UNROLL', 8)),
     )
 
@@ -399,13 +418,17 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
         window = (
             use12 and batch_p == band_ops.BATCH_TILE and mesh_key is None
             and _use_window_chase(band, states_p, single))
+        fused = (
+            use12 and batch_p == band_ops.BATCH_TILE and mesh_key is None
+            and _use_fused_chase(band, single))
 
         def pipeline(observation, batch_frames, trans_p, init_p,
                      band_matrix):
             obs = observation if fold_obs else convert(observation)
             if use12:
                 from .backtrace import (
-                    backtrace_posteriors12, backtrace_posteriors_window)
+                    backtrace_posteriors12, backtrace_posteriors12_fused1,
+                    backtrace_posteriors_window)
                 post12, posterior12 = band_ops.viterbi_forward_band(
                     obs, batch_frames, trans_p, init_p, band,
                     interpret=interpret,
@@ -413,6 +436,10 @@ def _build_decode(backend, batch_p, frames_p, states, states_in, band,
                     apply_epsilon=(apply_epsilon and fold_obs),
                     band_matrix=band_matrix, raw12=True, packed=packed,
                     spread=spread)
+                if fused:
+                    return backtrace_posteriors12_fused1(
+                        post12, trans_p, posterior12, batch_frames,
+                        interpret=interpret)
                 if window:
                     return backtrace_posteriors_window(
                         post12, trans_p, posterior12, batch_frames,
