@@ -672,6 +672,10 @@ def test_batch1_window_backtrace_matches_full_chase(monkeypatch, spread):
                         raising=False)
     monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', spread,
                         raising=False)
+    # The fused chase (default on) takes precedence over the windowed
+    # variant under test; disable it so the window path engages
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False,
+                        raising=False)
     calls = []
     orig = bt._build_backtrace_window
 

@@ -162,7 +162,14 @@ BACKTRACE_BATCH1_WINDOW = False
 # full-width reductions. Attacks exactly the per-step fixed latency the
 # windowed experiment showed was binding. Bitwise exact
 # (tests/test_parity.py). Takes precedence over BACKTRACE_BATCH1_WINDOW.
-BACKTRACE_BATCH1_FUSED = False
+#
+# MEASURED on v5e (scripts/batch1_ab.py AB_CHASES=full,fused, 10240-frame
+# pitch): 13.63 ms/call (751K ts/s) vs 15.16 ms (676K) with spread on;
+# 21.5 vs 22.1 ms with spread off. The step shape follows
+# scripts/chase_lab.py: native reductions beat a hand-built lane-rotate
+# pair tree by ~220 ns/step; the win here is the SMEM index, the dropped
+# scratch round trip, and 1-row instead of 8-row ALU work.
+BACKTRACE_BATCH1_FUSED = True
 
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
