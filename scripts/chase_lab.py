@@ -212,7 +212,7 @@ def main():
 
     results = {}
     for variant in args.variants.split(','):
-        call = _build(variant, args.frames, unroll=args.unroll or False)
+        call = _build(variant, args.frames, unroll=(args.unroll == 128))
 
         def run(call=call):
             return call(trans, post)
