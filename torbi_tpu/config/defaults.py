@@ -168,7 +168,12 @@ BACKTRACE_BATCH1_WINDOW = False
 # 21.5 vs 22.1 ms with spread off. The step shape follows
 # scripts/chase_lab.py: native reductions beat a hand-built lane-rotate
 # pair tree by ~220 ns/step; the win here is the SMEM index, the dropped
-# scratch round trip, and 1-row instead of 8-row ALU work.
+# scratch round trip, and 1-row instead of 8-row ALU work. Fully
+# UNROLLING the 128-step chase loop measured neutral-to-worse
+# (chase_lab --unroll 128: the bare load->extract floor regressed 479 ->
+# 653 ns/step under the 128x program, the production-shaped step was
+# unchanged; Mosaic supports no partial unroll) -- the serial chase is
+# at its measured structural floor, do not retry loop unrolling here.
 BACKTRACE_BATCH1_FUSED = True
 
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
