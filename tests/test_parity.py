@@ -769,6 +769,9 @@ def test_batch1_fused_backtrace_matches_full_chase(monkeypatch, spread):
 
     monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', True,
                         raising=False)
+    # The spy fires at trace time only; force a re-trace in case another
+    # test already staged this exact shape/config combination
+    dispatch._build_decode.cache_clear()
     got = np.asarray(dispatch_decode(
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))

@@ -286,8 +286,67 @@ def test_batch1_window_backtrace_matches_oracle_tpu(monkeypatch, spread):
                         raising=False)
     monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True,
                         raising=False)
+    # The fused chase (default on) takes precedence; disable it so this
+    # test keeps covering the windowed kernel's Mosaic lowering
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False,
+                        raising=False)
     expected = oracle.viterbi_numpy(obs, bf, trans, init)
     got = np.asarray(decode(
         jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
         jnp.asarray(init), backend='pallas', finite_observation=True))
     np.testing.assert_array_equal(got, expected)
+
+
+@requires_tpu
+@pytest.mark.parametrize('spread', [False, True])
+def test_batch1_fused_chase_matches_oracle_tpu(monkeypatch, spread):
+    """The batch-1 fused single-row chase (BACKTRACE_BATCH1_FUSED, the
+    production default) through real Mosaic lowering -- SMEM chase index,
+    in-register dynamic transition-row loads, native two-tree reductions
+    -- at the pitch configuration, with the spread forward both off and
+    on, incl. a frozen padded tail."""
+    import torbi_tpu
+    from torbi_tpu.models import pitch
+    from torbi_tpu.ops import backtrace as bt
+    from torbi_tpu.ops import oracle
+    from torbi_tpu.ops.dispatch import decode
+
+    rng = np.random.default_rng(37)
+    tiny = np.finfo(np.float32).tiny
+    frames, states = 57, 1440  # buckets to 64; frozen tail
+
+    centers = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(1, 64)), axis=1) + 720,
+        0, states - 1)
+    bins = np.arange(states, dtype=np.float32)[None, None, :]
+    logits = -0.5 * (
+        (bins - centers[..., None].astype(np.float32)) / 2.5) ** 2
+    obs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+    obs = np.log(np.exp(obs.astype(np.float32)) + tiny)[:, :frames]
+
+    trans = np.log(pitch.transition_matrix() + tiny)
+    init = np.log(np.full(states, 1.0 / states, np.float32) + tiny)
+    bf = np.array([frames - 5], dtype=np.int32)
+
+    monkeypatch.setattr(torbi_tpu, 'BAND_BATCH1_SPREAD', spread,
+                        raising=False)
+    monkeypatch.setattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', True,
+                        raising=False)
+    calls = []
+    orig = bt._build_backtrace12_fused1
+
+    def spy(*args, **kwargs):
+        calls.append(args)
+        return orig(*args, **kwargs)
+    monkeypatch.setattr(bt, '_build_backtrace12_fused1', spy)
+    # The staged-pipeline builder may have traced this exact shape in an
+    # earlier test (the spy only fires at trace time); force a re-trace
+    from torbi_tpu.ops import dispatch
+    dispatch._build_decode.cache_clear()
+
+    expected = oracle.viterbi_numpy(obs, bf, trans, init)
+    got = np.asarray(decode(
+        jnp.asarray(obs), jnp.asarray(bf), jnp.asarray(trans),
+        jnp.asarray(init), backend='pallas', finite_observation=True))
+    np.testing.assert_array_equal(got, expected)
+    assert calls, 'fused chase did not engage'
