@@ -192,11 +192,16 @@ def test_probe_lengths_npy_exact_and_bytes_fallback(tmp_path):
 
     npy = tmp_path / 'a.npy'
     np.save(npy, np.zeros((37, 5), np.float32))
+    npy2 = tmp_path / 'c.npy'
+    np.save(npy2, np.zeros((11, 5), np.float32))
+    # All-.npy corpus: exact frame counts from the headers
+    assert probe_lengths([npy, npy2]) == [37, 11]
+    # One unparseable file demotes the WHOLE corpus to byte sizes (one
+    # unit per corpus; a frames/bytes mix would mis-weight LPT)
     other = tmp_path / 'b.pt'
     other.write_bytes(b'x' * 1234)
     lengths = probe_lengths([npy, other])
-    assert lengths[0] == 37          # parsed from the .npy header
-    assert lengths[1] == 1234        # byte-size fallback
+    assert lengths == [npy.stat().st_size, 1234]
     assert probe_lengths([tmp_path / 'missing.pt']) is None
 
 

@@ -152,16 +152,19 @@ BAND_BATCH1_SPREAD = True
 # stream emission.
 BACKTRACE_BATCH1_WINDOW = False
 
-# Batch-1 backtrace flavor: True chases with the FUSED pair-tree kernel
+# Batch-1 backtrace flavor: True chases with the FUSED single-row kernel
 # (ops/backtrace.py::backtrace_posteriors12_fused1) -- full width like
 # the general mod-M chase (no relayout, same permuted transition), but
 # the serial step keeps its index in SMEM (no scratch round trip),
 # touches only the (1, S_padded) real row instead of the (8, S_padded)
-# tile, and resolves argmax + lowest-natural-index ties in ONE
-# associative (value, index) reduction tree instead of two sequential
-# full-width reductions. Attacks exactly the per-step fixed latency the
-# windowed experiment showed was binding. Bitwise exact
-# (tests/test_parity.py). Takes precedence over BACKTRACE_BATCH1_WINDOW.
+# tile, and resolves argmax + lowest-natural-index ties with Mosaic's
+# NATIVE two-tree form (jnp.max of the scores, then jnp.min over the
+# tie indices): a hand-built single associative (value, index) pair
+# tree measured ~220 ns/step SLOWER (scripts/chase_lab.py), so the two
+# sequential native reductions are the deliberate shape. Attacks
+# exactly the per-step fixed latency the windowed experiment showed was
+# binding. Bitwise exact (tests/test_parity.py). Takes precedence over
+# BACKTRACE_BATCH1_WINDOW.
 #
 # MEASURED on v5e (scripts/batch1_ab.py AB_CHASES=full,fused, 10240-frame
 # pitch): 13.63 ms/call (751K ts/s) vs 15.16 ms (676K) with spread on;

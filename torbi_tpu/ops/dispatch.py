@@ -61,7 +61,10 @@ def _use_fused_chase(band, single):
         return False
     if str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) != 'stitched':
         return False
-    return bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False))
+    # getattr fallbacks mirror config/defaults.py (fused True, window
+    # False) so a missing attribute can never silently flip the measured
+    # production chase selection
+    return bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', True))
 
 
 def _use_window_chase(band, states_p, single):
@@ -72,7 +75,7 @@ def _use_window_chase(band, states_p, single):
         return False
     if str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')) != 'stitched':
         return False
-    if not bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)):
+    if not bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', False)):
         return False
     # The fused full-width chase takes precedence (it keeps the permuted
     # transition prep and measured faster than the windowed variant)
@@ -237,8 +240,8 @@ def _config_key():
         float(torbi_tpu.LSE_BETA),
         int(getattr(torbi_tpu, 'BAND_FRAME_TILE', 8)),
         str(getattr(torbi_tpu, 'BAND_KERNEL_LAYOUT', 'rolled')),
-        bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', True)),
-        bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', False)),
+        bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_WINDOW', False)),
+        bool(getattr(torbi_tpu, 'BACKTRACE_BATCH1_FUSED', True)),
         int(getattr(torbi_tpu, 'CONSTANT_SCAN_UNROLL', 8)),
     )
 

@@ -14,41 +14,52 @@ import jax
 import torbi_tpu
 
 
-def probe_lengths(files):
-    """Best-effort per-file frame counts for LPT balancing.
-
-    ``.npy`` headers are parsed exactly (native C++ probe, numpy-header
-    fallback); every other format falls back to byte size, which is
-    proportional to frames whenever the corpus shares one states
-    dimension -- and LPT only needs lengths up to a common scale. Returns
-    None when nothing could be probed (callers fall back to round-robin).
-    """
+def _probe_npy_frames(file):
+    """Frame count from a ``.npy`` header (native C++ probe, then the
+    PUBLIC numpy header readers -- the private ``_read_array_header``
+    could drift between hosts' numpy versions). None if unparseable."""
     from ..data import native
 
-    lengths = []
-    for file in files:
-        frames = None
-        if str(file).endswith('.npy'):
-            probed = native.probe(file)
-            if probed is None:
-                try:
-                    import numpy as np
-                    with open(file, 'rb') as handle:
-                        version = np.lib.format.read_magic(handle)
-                        shape, _, _ = np.lib.format._read_array_header(
-                            handle, version)
-                    if len(shape) == 2:
-                        probed = shape
-                except Exception:
-                    probed = None
-            if probed is not None:
-                frames = probed[0]
-        if frames is None:
-            try:
-                frames = os.path.getsize(file)
-            except OSError:
-                return None
-        lengths.append(frames)
+    probed = native.probe(file)
+    if probed is None:
+        try:
+            import numpy as np
+            with open(file, 'rb') as handle:
+                major, _ = np.lib.format.read_magic(handle)
+                read_header = (
+                    np.lib.format.read_array_header_1_0 if major == 1
+                    else np.lib.format.read_array_header_2_0)
+                shape, _, _ = read_header(handle)
+            if len(shape) == 2:
+                probed = shape
+        except Exception:
+            probed = None
+    return probed[0] if probed is not None else None
+
+
+def probe_lengths(files):
+    """Best-effort per-file lengths for LPT balancing, in ONE unit.
+
+    ``.npy`` headers are parsed exactly into frame counts; if ANY file in
+    the corpus cannot be parsed (non-.npy format, exotic header), the
+    WHOLE corpus falls back to byte sizes -- mixing frames and bytes
+    within one partition would mis-weight the LPT assignment, and a
+    per-file fallback could diverge across pod hosts with heterogeneous
+    numpy versions (every host must compute the identical partition:
+    output files are the only synchronization artifact, so divergent
+    partitions silently decode some files on no host). Byte size is
+    proportional to frames whenever the corpus shares one states
+    dimension, and LPT only needs lengths up to a common scale. Returns
+    None when byte sizes are unavailable too (callers then round-robin).
+    """
+    lengths = [
+        _probe_npy_frames(file) if str(file).endswith('.npy') else None
+        for file in files]
+    if any(frames is None for frames in lengths):
+        try:
+            lengths = [os.path.getsize(file) for file in files]
+        except OSError:
+            return None
     return lengths
 
 
