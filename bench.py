@@ -270,7 +270,27 @@ def _batch1_flags(transition, initial):
         'spread': bool(getattr(torbi_tpu, 'BAND_BATCH1_SPREAD', False)),
         'fused_chase': _use_fused_chase(band, True),
         'window_chase': _use_window_chase(band, states_p, True),
+        'auto_chunk': bool(getattr(torbi_tpu, 'BATCH1_AUTO_CHUNK', True)),
     }
+
+
+def _autochunk_plan_info(obs, bf):
+    """The split plan the auto-chunk route will use for this observation
+    (rows/bucket printed so the measured configuration is attributable)"""
+    from torbi_tpu.ops import autochunk
+
+    import torbi_tpu
+    packed = obs.ndim == 4
+    frames = int(obs.shape[2] if packed else obs.shape[1])
+    ent, valid = autochunk._entropy_fn(packed, True, STATES)(obs, bf)
+    plan = autochunk.plan_splits(
+        np.asarray(ent), min(int(valid), frames),
+        int(getattr(torbi_tpu, 'BATCH1_CHUNK_FRAMES', 1280)))
+    if plan is None:
+        return 'auto-chunk plan: none (serial fallback)'
+    starts, lengths, bucket = plan
+    return (f'auto-chunk plan: {len(starts)} rows x <= {lengths.max()} '
+            f'frames (bucket {bucket})')
 
 
 def bench_batch1(frames=10240):
@@ -333,6 +353,8 @@ def bench_batch1(frames=10240):
         return decode(
             obs_pitch, bf, transition, initial, apply_epsilon=True)
 
+    if getattr(torbi_tpu, 'BATCH1_AUTO_CHUNK', True):
+        _info(_autochunk_plan_info(obs_pitch, bf))
     sec = time_best(
         run_pitch, lambda r: r[0, 0], iters=8, label='batch1-banded')
 
@@ -349,16 +371,29 @@ def bench_batch1(frames=10240):
     emit('timesteps_per_second_batch1_10240_frames', frames / sec,
          'timesteps/s', BASELINE_A40_BATCH1)
 
-    # Per-stage breakdown (forward kernel / backtrace kernel / staged
-    # pipeline / host) so regressions are attributable
-    if os.environ.get('BENCH_BATCH1_STAGES', '1') != '0':
-        from torbi_tpu.utils.profile import time_stages
-        stages = time_stages(
-            obs, np.asarray(bf), transition, initial,
-            pipeline_observation=obs_pitch)
-        for key in ('forward_ms', 'backtrace_ms', 'pipeline_ms', 'e2e_ms',
-                    'glue_ms', 'host_ms'):
-            emit(f'batch1_{key}', float(stages[key]), 'ms', None)
+    # The pinned SERIAL path (BATCH1_AUTO_CHUNK=False): full-sequence-exact
+    # kernels, labeled separately -- also the configuration the per-stage
+    # breakdown decomposes
+    old_chunk_flag = getattr(torbi_tpu, 'BATCH1_AUTO_CHUNK', True)
+    torbi_tpu.BATCH1_AUTO_CHUNK = False
+    try:
+        sec_serial = time_best(
+            run_pitch, lambda r: r[0, 0], iters=8, label='batch1-serial')
+        emit('timesteps_per_second_batch1_10240_frames_serial',
+             frames / sec_serial, 'timesteps/s', None)
+
+        # Per-stage breakdown (forward kernel / backtrace kernel / staged
+        # pipeline / host) so regressions are attributable
+        if os.environ.get('BENCH_BATCH1_STAGES', '1') != '0':
+            from torbi_tpu.utils.profile import time_stages
+            stages = time_stages(
+                obs, np.asarray(bf), transition, initial,
+                pipeline_observation=obs_pitch)
+            for key in ('forward_ms', 'backtrace_ms', 'pipeline_ms',
+                        'e2e_ms', 'glue_ms', 'host_ms'):
+                emit(f'batch1_{key}', float(stages[key]), 'ms', None)
+    finally:
+        torbi_tpu.BATCH1_AUTO_CHUNK = old_chunk_flag
 
     # Uniform transition: the width-0 fast path (labeled separately; not
     # apples-to-apples with the reference's banded baseline)

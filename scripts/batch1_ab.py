@@ -42,6 +42,8 @@ def main():
 
     results = {}
     chases = os.environ.get('AB_CHASES', 'full,window,fused').split(',')
+    torbi_tpu.BATCH1_AUTO_CHUNK = False  # serial arms measure the kernels
+    serial_out = None
     for spread in (False, True):
         for chase in chases:
             torbi_tpu.BAND_BATCH1_SPREAD = spread
@@ -52,6 +54,7 @@ def main():
                 return decode(
                     obs, bf, transition, initial, apply_epsilon=True)
 
+            serial_out = np.asarray(run())
             sec = time_submissions(run, lambda r: r[0, 0], iters=8)
             key = f'spread={spread},chase={chase}'
             results[key] = {
@@ -59,6 +62,31 @@ def main():
                 'timesteps_per_second': round(FRAMES / sec),
             }
             print(json.dumps({key: results[key]}), flush=True)
+
+    # Auto-chunk arm (BATCH1_AUTO_CHUNK, ops/autochunk.py): the sequence
+    # decodes as parallel entropy-chunk rows; on this peaked synthetic
+    # input the path must MATCH the serial kernels exactly (every frame is
+    # a confident split candidate)
+    if os.environ.get('AB_AUTOCHUNK', '1') != '0':
+        torbi_tpu.BATCH1_AUTO_CHUNK = True
+        torbi_tpu.BAND_BATCH1_SPREAD = True     # shipped defaults
+        torbi_tpu.BACKTRACE_BATCH1_FUSED = True
+        torbi_tpu.BACKTRACE_BATCH1_WINDOW = False
+
+        def run_chunked():
+            return decode(
+                obs, bf, transition, initial, apply_epsilon=True)
+
+        chunked_out = np.asarray(run_chunked())
+        exact = bool((chunked_out == serial_out).all())
+        sec = time_submissions(run_chunked, lambda r: r[0, 0], iters=8)
+        key = 'autochunk'
+        results[key] = {
+            'ms_per_call': round(sec * 1e3, 2),
+            'timesteps_per_second': round(FRAMES / sec),
+            'path_matches_serial': exact,
+        }
+        print(json.dumps({key: results[key]}), flush=True)
 
     base = results.get(
         'spread=False,chase=full',

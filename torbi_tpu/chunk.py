@@ -62,10 +62,25 @@ def split(
     if entropy_threshold is None:
         entropy_threshold = torbi_tpu.ENTROPY_THRESHOLD
     observation = np.asarray(observation).T  # (states, frames)
-    frames = observation.shape[-1]
+    return splits_from_entropy(
+        entropy(observation), min_chunk_size, entropy_threshold)
 
-    # Frames i where both i and i-1 are below the entropy threshold
-    candidates = entropy(observation) < entropy_threshold
+
+def splits_from_entropy(
+    entropy_values,
+    min_chunk_size,
+    entropy_threshold,
+) -> List[int]:
+    """Split points from precomputed framewise normalized entropy.
+
+    Shared by ``split`` and the dispatcher's batch-1 auto-chunking (which
+    computes the entropy on device): frames where both the frame and its
+    predecessor fall below ``entropy_threshold``, greedily kept at least
+    ``min_chunk_size`` apart.
+    """
+    entropy_values = np.asarray(entropy_values)
+    frames = entropy_values.shape[0]
+    candidates = entropy_values < entropy_threshold
     splittable = np.flatnonzero(candidates[1:] & candidates[:-1]) + 1
 
     # Greedy selection: each split is the first splittable frame at least

@@ -179,6 +179,29 @@ BACKTRACE_BATCH1_WINDOW = False
 # at its measured structural floor, do not retry loop unrolling here.
 BACKTRACE_BATCH1_FUSED = True
 
+# Batch-1 auto-chunking: a single long BANDED sequence (width > 0) decodes
+# as parallel chunk rows split at adjacent low-entropy frame pairs -- the
+# reference's own long-sequence policy (its chunk.py), applied
+# automatically at decode time (ops/autochunk.py). The serial backtrace
+# chase that binds batch-1 (~0.65 us/frame on v5e, scripts/chase_lab.py)
+# then scales with the longest chunk instead of the whole sequence.
+# Semantics are the reference's chunked mode: bitwise equal to the oracle
+# run per-chunk, equal to the full-sequence oracle whenever the split
+# frames are truly near-deterministic (what the ENTROPY_THRESHOLD gate
+# selects for; exact on peaked pitch posteriorgrams, tests/
+# test_autochunk.py). Diffuse observations yield no split candidates and
+# fall back to the serial kernels; False pins them for every input.
+BATCH1_AUTO_CHUNK = True
+
+# Single-sequence frame count below which auto-chunking is never
+# considered (short sequences cannot amortize the entropy pass + plan)
+BATCH1_AUTO_CHUNK_MIN_FRAMES = 4096
+
+# Target frames per auto-chunk row. 1280 puts a 10,240-frame sequence in
+# ONE 8-row backtrace tile of ~1280-frame chunks (padded to the 1536
+# bucket): ~7x fewer serial chase steps than the unchunked decode
+BATCH1_CHUNK_FRAMES = 1280
+
 # Bucket sizes used to pad (frames) before jit to bound recompilation in the
 # file workload. Frame counts are padded up to the next bucket boundary.
 # (640 and 1536 catch sequences just over a power of two -- e.g. entropy

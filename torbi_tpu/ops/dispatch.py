@@ -669,6 +669,25 @@ def decode(observation, batch_frames, transition, initial, backend=None,
             if not bool(finite.all()):
                 band = None
 
+    # Batch-1 auto-chunking: a single long banded sequence converts into
+    # parallel chunk rows at low-entropy split points (the reference's own
+    # long-sequence answer, applied automatically) -- the serial backtrace
+    # chase that binds batch-1 scales with the longest ROW, not the whole
+    # sequence. Reference-chunked-mode semantics; BATCH1_AUTO_CHUNK=False
+    # pins the serial full-sequence-exact kernels (config/defaults.py).
+    if (batch == 1 and band is not None and band[1] > 0
+            and backend in ('pallas', 'band') and mesh is None
+            and frames >= int(getattr(
+                torbi_tpu, 'BATCH1_AUTO_CHUNK_MIN_FRAMES', 4096))
+            and bool(getattr(torbi_tpu, 'BATCH1_AUTO_CHUNK', True))):
+        from . import autochunk
+        chunked = autochunk.decode_chunked(
+            observation, batch_frames, transition, initial,
+            backend=backend, packed=packed, states=states,
+            log_input=log_input, apply_epsilon=apply_epsilon)
+        if chunked is not None:
+            return chunked
+
     # Packed inputs can only ride the stitched band fast path; any other
     # route (dense kernel, width-0 floor, non-stitched layout, xla/lse
     # backends) consumes the natural layout
