@@ -58,10 +58,27 @@ def viterbi_librosa_style(observation_probs, transition_probs, initial_probs):
         librosa convention: prob[i, j] = P(j at t+1 | i at t))
     initial_probs: (S,)
     returns (T,) int64
+
+    Band-limited transitions (every column's nonzero support contiguous,
+    e.g. the pitch matrix) take an O(S*W)-per-frame path that is BITWISE
+    identical to the dense recursion (``_viterbi_librosa_dense``; equality
+    enforced by tests/test_parity.py) -- at reference evaluation scale
+    (8,192 stems x 2 corpora, /root/reference/torbi/config/defaults.py:59)
+    the dense float64 loop alone would cost many hours of the evaluation
+    harness's single CPU core.
     """
     observation = np.asarray(observation_probs, dtype=np.float64)
     transition = np.asarray(transition_probs, dtype=np.float64)
     initial = np.asarray(initial_probs, dtype=np.float64)
+    band = _column_band(transition)
+    if band is not None and (band[1] - band[0]).max() + 1 <= (
+            transition.shape[0] + 1) // 2:
+        return _viterbi_librosa_banded(observation, transition, initial, band)
+    return _viterbi_librosa_dense(observation, transition, initial)
+
+
+def _viterbi_librosa_dense(observation, transition, initial):
+    """The literal dense recursion (the bitwise contract both paths meet)"""
     T, S = observation.shape
     eps = np.finfo(np.float64).tiny
     log_obs = np.log(observation + eps)
@@ -76,6 +93,117 @@ def viterbi_librosa_style(observation_probs, transition_probs, initial_probs):
         trans_out = value[t - 1][:, None] + log_trans
         ptr[t] = np.argmax(trans_out, axis=0)
         value[t] = log_obs[t] + np.max(trans_out, axis=0)
+
+    path = np.zeros(T, dtype=np.int64)
+    path[-1] = np.argmax(value[-1])
+    for t in range(T - 2, -1, -1):
+        path[t] = ptr[t + 1, path[t + 1]]
+    return path
+
+
+def _column_band(transition):
+    """Per-destination-column contiguous nonzero support of a probability-
+    space transition: (first, last) index arrays, or None when any column's
+    support is empty or non-contiguous (dense decoding applies)."""
+    nonzero = transition > 0
+    if not nonzero.any(axis=0).all():
+        return None
+    first = nonzero.argmax(axis=0)
+    last = transition.shape[0] - 1 - nonzero[::-1].argmax(axis=0)
+    if not (nonzero.sum(axis=0) == last - first + 1).all():
+        return None
+    return first, last
+
+
+def _running_first_argmax(values):
+    """(running max, index of its FIRST occurrence) along a 1-D array --
+    the prefix decomposition of np.argmax's lowest-index tie rule"""
+    running = np.maximum.accumulate(values)
+    previous = np.concatenate(([-np.inf], running[:-1]))
+    # The argmax resets only on a STRICT increase; later equal values keep
+    # the earlier index, exactly like np.argmax
+    reset = np.where(values > previous, np.arange(values.shape[0]), 0)
+    return running, np.maximum.accumulate(reset)
+
+
+def _suffix_first_argmax(values):
+    """(suffix max over [i:], LOWEST index in [i:] achieving it) -- the
+    suffix decomposition of the same lowest-index tie rule"""
+    size = values.shape[0]
+    reversed_values = values[::-1]
+    running = np.maximum.accumulate(reversed_values)
+    previous = np.concatenate(([-np.inf], running[:-1]))
+    # Non-strict resets: a later reversed position with an EQUAL value is
+    # a lower ORIGINAL index and must take over
+    reset = np.where(reversed_values >= previous, np.arange(size), 0)
+    arg = size - 1 - np.maximum.accumulate(reset)
+    return running[::-1], arg[::-1]
+
+
+def _viterbi_librosa_banded(observation, transition, initial, band):
+    """O(S*W)-per-frame recursion, bitwise equal to the dense one.
+
+    For destination j the dense argmax scans candidates
+    fl(value[i] + log_trans[i, j]) over all sources i. In-band sources
+    (trans[i, j] > 0, the contiguous window [first_j, last_j]) are gathered
+    and reduced directly -- the identical float64 adds in the identical
+    index order. Every out-of-band source contributes the SAME addend
+    log(0 + eps), and float addition of a constant is monotone, so the
+    out-of-band maximum is fl(max value + log_eps)... but NOT its argmax:
+    two distinct values may round to one sum, and np.argmax takes the
+    lowest index of the SUM. Both reductions therefore run over the summed
+    array s[i] = fl(value[i] + log_eps) with first-occurrence prefix/suffix
+    scans, preserving the tie rule exactly.
+    """
+    T, S = observation.shape
+    eps = np.finfo(np.float64).tiny
+    log_obs = np.log(observation + eps)
+    log_init = np.log(initial + eps)
+    log_eps = np.log(eps)  # == np.log(0.0 + eps): the out-of-band addend
+
+    first, last = band
+    width = int((last - first).max()) + 1
+    # Gather map: column j's in-band sources in increasing order, clamped
+    # duplicates at the tail for narrower (edge-clipped) columns -- a
+    # duplicate repeats an earlier (value, index) candidate and can never
+    # steal a first-occurrence argmax
+    idx = np.minimum(first[:, None] + np.arange(width)[None, :], last[:, None])
+    with np.errstate(divide='ignore'):
+        gathered_trans = np.log(transition + eps)[idx, np.arange(S)[:, None]]
+    cols = np.arange(S)
+
+    value = np.zeros((T, S), dtype=np.float64)
+    ptr = np.zeros((T, S), dtype=np.int64)
+    value[0] = log_obs[0] + log_init
+    for t in range(1, T):
+        prev = value[t - 1]
+
+        # In-band: the dense candidates themselves, in index order
+        cand = prev[idx] + gathered_trans           # (S, W)
+        in_k = np.argmax(cand, axis=1)
+        in_val = cand[cols, in_k]
+        in_idx = idx[cols, in_k]
+
+        # Out-of-band: first-occurrence prefix/suffix maxima of the summed
+        # candidates, -inf-padded for empty regions
+        summed = prev + log_eps
+        pre_max, pre_arg = _running_first_argmax(summed)
+        pre_max = np.concatenate(([-np.inf], pre_max))
+        pre_arg = np.concatenate(([0], pre_arg))
+        suf_max, suf_arg = _suffix_first_argmax(summed)
+        suf_max = np.concatenate((suf_max, [-np.inf]))
+        suf_arg = np.concatenate((suf_arg, [0]))
+
+        pre_v, pre_i = pre_max[first], pre_arg[first]
+        suf_v, suf_i = suf_max[last + 1], suf_arg[last + 1]
+        # Prefix indices precede suffix indices, so prefix wins exact ties
+        out_v = np.where(pre_v >= suf_v, pre_v, suf_v)
+        out_i = np.where(pre_v >= suf_v, pre_i, suf_i)
+
+        # Lowest overall index on exact in/out ties (disjoint index sets)
+        take_out = (out_v > in_val) | ((out_v == in_val) & (out_i < in_idx))
+        ptr[t] = np.where(take_out, out_i, in_idx)
+        value[t] = log_obs[t] + np.where(take_out, out_v, in_val)
 
     path = np.zeros(T, dtype=np.int64)
     path[-1] = np.argmax(value[-1])
