@@ -1,40 +1,46 @@
-"""Command-line decode: maps directly onto ``from_files_to_files``.
+"""Command-line decode: ``python -m torbi_tpu`` maps onto
+``from_files_to_files``.
 
-The FLAG NAMES match the reference CLI (torbi/__main__.py:16-49) -- that
-compatibility contract is what lets scripts written against the reference
-run unchanged -- but the implementation is a declarative flag table.
+The FLAG NAMES are a compatibility contract with the reference CLI
+(torbi/__main__.py:16-49): invocations written against the reference run
+unchanged. Everything behind them is this framework's pipeline -- the
+native .npy loader assembles mod-M packed device batches when the
+transition qualifies for the stitched band kernel, long single sequences
+auto-chunk into parallel rows (config/defaults.py BATCH1_AUTO_CHUNK), and
+``--gpu`` selects among visible accelerator devices (the name is kept for
+script compatibility; on this backend it indexes TPU chips).
 """
 from pathlib import Path
 
 import torbi_tpu
 from torbi_tpu.config import ArgumentParser
 
-# (flag, argparse spec): the reference-compatible surface, one row per flag
+# Declarative flag table: one row per reference-compatible flag
 _FLAGS = (
     ('--input_files', dict(
         type=Path, nargs='+', required=True,
         help='Observation files to decode (.pt or .npy, (frames, states))')),
     ('--output_files', dict(
         type=Path, nargs='+', required=True,
-        help='Where each decoded index sequence is written (paired '
-             'one-to-one with --input_files)')),
+        help='Where each decoded index sequence lands (paired one-to-one '
+             'with --input_files)')),
     ('--transition_file', dict(
         type=Path,
-        help='Transition matrix file in probability space; omit for a '
-             'uniform matrix')),
+        help='Transition matrix in probability space, row = destination; '
+             'a uniform matrix is assumed when omitted')),
     ('--initial_file', dict(
         type=Path,
-        help='Initial state distribution file; omit for uniform')),
+        help='First-frame state distribution; uniform when omitted')),
     ('--log_probs', dict(
         action='store_true',
-        help='Treat the observation files as natural-log probabilities')),
+        help='Observation files already hold natural-log probabilities')),
     ('--gpu', dict(
         type=int,
-        help='Index into jax.devices() to decode on; omit for the '
-             'default device')),
+        help='Index into jax.devices() to decode on (reference flag name); '
+             'the default device is used when omitted')),
     ('--num_threads', dict(
         type=int, default=1,
-        help='Accepted for reference-CLI compatibility; decoding on TPU '
+        help='Accepted for reference-CLI compatibility; TPU decoding '
              'ignores it')),
 )
 
@@ -47,4 +53,8 @@ def parse_args():
     return parser.parse_known_args()[0]
 
 
-torbi_tpu.from_files_to_files(**vars(parse_args()))
+def main():
+    torbi_tpu.from_files_to_files(**vars(parse_args()))
+
+
+main()
