@@ -1,23 +1,27 @@
-"""End-to-end evaluation artifact over a synthetic 1440-state corpus.
+"""End-to-end evaluation artifact over synthetic 1440-state corpora.
 
 The reference's credibility artifact is ``eval/{CONFIG}.json`` produced by
-its full harness over 8,192-stem speech corpora
-(/root/reference/torbi/evaluate/core.py:121-123). The daps/vctk downloads
+its full harness over two 8,192-stem speech corpora
+(/root/reference/torbi/evaluate/core.py:121-123,
+/root/reference/torbi/config/defaults.py:56-59). The daps/vctk downloads
 and penn preprocessing need network access, so this script builds the same
-kind of artifact from what IS available: a synthetic corpus of peaked
+kind of artifact from what IS available: synthetic corpora of peaked
 1440-state pitch posteriorgrams (the same generator as bench.py) pushed
-through the UNMODIFIED evaluation harness -- librosa-style reference decode
-(cached on disk, resumable per file), framework decode via
-``from_files_to_files`` on the real TPU, RPA metrics, and RTF/timesteps-per
--second speed accounting.
+through the UNMODIFIED evaluation harness -- librosa-style reference
+decode (cached on disk, resumable per file), framework decode via
+``from_files_to_files`` on the real TPU, RPA metrics, and
+RTF/timesteps-per-second speed accounting.
 
-Phases (the corpus and reference outputs persist under ``--workdir``):
+Phases (the corpora and reference outputs persist under ``--workdir``):
 
   python scripts/eval_synth.py --reference-only   # CPU, slow, resumable
   python scripts/eval_synth.py                    # TPU decode + metrics
 
-The final results JSON is copied to ``eval/{CONFIG}.json`` at the repo
-root (the committed artifact).
+Config variants score through the same machinery: ``--batch-size 1``
+mirrors config/nobatch.py, ``--min-chunk N`` the chunked mode,
+``--eval-backend lse`` the approximate MXU decode. The final results JSON
+is copied to ``eval/{CONFIG}.json`` at the repo root (the committed
+artifact).
 """
 import argparse
 import json
@@ -31,23 +35,24 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATASET = 'synth'
+# Two corpora mirror the reference's two evaluation datasets (daps, vctk)
+DATASET_SEEDS = {'synthdaps': 11, 'synthvctk': 7011}
 
 
-def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
+def build_corpus(workdir, dataset, n_files, min_frames, max_frames, seed):
     """Synthetic log-space posteriorgram corpus + partition file.
 
     Files are written once (content-stable across runs via the seed) in
-    the cache layout the harness expects: CACHE_DIR/synth/{stem}.pt.
+    the cache layout the harness expects: CACHE_DIR/{dataset}/{stem}.pt.
     The generation parameters persist next to the corpus; cached files
     are only reused when they match (otherwise the stale corpus -- and
     its reference outputs, which key on its contents -- is rebuilt).
     """
     from bench import synthetic_posteriorgrams
 
-    cache = workdir / 'cache' / DATASET
+    cache = workdir / 'cache' / dataset
     cache.mkdir(parents=True, exist_ok=True)
-    meta_path = workdir / 'cache' / f'{DATASET}_meta.json'
+    meta_path = workdir / 'cache' / f'{dataset}_meta.json'
     meta = {'n_files': n_files, 'min_frames': min_frames,
             'max_frames': max_frames, 'seed': seed,
             # generator 2: clipped (non-wrapping) pitch walks -- wrapped
@@ -59,8 +64,8 @@ def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
     # A corpus without a matching meta file rebuilds -- including pre-meta
     # corpora from older script revisions: trusting those once mislabeled a
     # wrapped-generator corpus as clipped. Regeneration (corpus + reference
-    # outputs) measures ~10-20 min on one core, an acceptable price for a
-    # corpus that provably matches its meta.
+    # outputs) is the acceptable price for a corpus that provably matches
+    # its meta.
     stale = True
     if meta_path.exists():
         with open(meta_path) as file:
@@ -70,7 +75,7 @@ def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
     if stale:
         shutil.rmtree(cache)
         cache.mkdir(parents=True)
-        refs = workdir / 'eval' / DATASET / 'reference'
+        refs = workdir / 'eval' / dataset / 'reference'
         if refs.exists():
             shutil.rmtree(refs)
     with open(meta_path, 'w') as file:
@@ -89,12 +94,12 @@ def build_corpus(workdir, n_files, min_frames, max_frames, seed=11):
 
     partitions = workdir / 'partitions'
     partitions.mkdir(exist_ok=True)
-    with open(partitions / f'{DATASET}.json', 'w') as file:
+    with open(partitions / f'{dataset}.json', 'w') as file:
         json.dump(stems, file)
     return stems, [int(n) for n in lengths]
 
 
-def configure(workdir, config_name):
+def configure(workdir, config_name, datasets, n_files):
     import torbi_tpu
 
     torbi_tpu.CONFIG = config_name
@@ -103,7 +108,8 @@ def configure(workdir, config_name):
     torbi_tpu.PARTITION_DIR = workdir / 'partitions'
     torbi_tpu.PITCH_TRANSITION_MATRIX = (
         workdir / 'stats' / 'transition.pt')
-    torbi_tpu.DATASETS = [DATASET]
+    torbi_tpu.DATASETS = datasets
+    torbi_tpu.EVALUATION_SAMPLES = n_files
 
 
 def main():
@@ -111,6 +117,10 @@ def main():
     parser.add_argument('--files', type=int, default=256)
     parser.add_argument('--min-frames', type=int, default=128)
     parser.add_argument('--max-frames', type=int, default=512)
+    parser.add_argument(
+        '--datasets', default='synthdaps,synthvctk',
+        help='comma-separated corpus names (each a reference-dataset '
+             f'mirror; known seeds: {sorted(DATASET_SEEDS)})')
     parser.add_argument(
         '--workdir',
         default=os.path.expanduser('~/.cache/torbi_tpu/synth_eval'))
@@ -120,6 +130,16 @@ def main():
     # name must use a different flag
     parser.add_argument('--config-name', default='synth-tpu-v5e')
     parser.add_argument('--num-threads', type=int, default=1)
+    parser.add_argument(
+        '--batch-size', type=int, default=None,
+        help='override BATCH_SIZE (1 mirrors config/nobatch.py)')
+    parser.add_argument(
+        '--min-chunk', type=int, default=None,
+        help='override MIN_CHUNK_SIZE (entropy-chunked decoding)')
+    parser.add_argument(
+        '--eval-backend', default=None,
+        help="override EVAL_BACKEND (e.g. 'lse' for the approximate "
+             'MXU decode)')
     parser.add_argument(
         '--reference-only', action='store_true',
         help='only run the (slow, CPU) reference decode pass and exit; '
@@ -152,28 +172,40 @@ def main():
             time.sleep(60)
 
     workdir = Path(args.workdir)
-    stems, lengths = build_corpus(
-        workdir, args.files, args.min_frames, args.max_frames)
-    print(f'corpus: {len(stems)} files, {sum(lengths)} frames', flush=True)
+    datasets = args.datasets.split(',')
+    for dataset in datasets:
+        stems, lengths = build_corpus(
+            workdir, dataset, args.files, args.min_frames, args.max_frames,
+            seed=DATASET_SEEDS.get(dataset, abs(hash(dataset)) % 10000))
+        print(f'corpus {dataset}: {len(stems)} files, {sum(lengths)} frames',
+              flush=True)
 
     import torbi_tpu
-    configure(workdir, args.config_name)
+    configure(workdir, args.config_name, datasets, args.files)
+    if args.batch_size is not None:
+        torbi_tpu.BATCH_SIZE = args.batch_size
+    if args.min_chunk is not None:
+        torbi_tpu.MIN_CHUNK_SIZE = args.min_chunk
+    if args.eval_backend is not None:
+        torbi_tpu.EVAL_BACKEND = args.eval_backend
 
     if args.reference_only:
         from torbi_tpu.evaluate.core import (
             _ensure_targets, _stems, _transition_file)
 
-        input_files = [
-            torbi_tpu.CACHE_DIR / DATASET / f'{stem}.pt'
-            for stem in _stems(DATASET)]
-        _ensure_targets(
-            DATASET, _stems(DATASET), input_files, args.num_threads)
-        print('reference outputs ready', flush=True)
+        for dataset in datasets:
+            input_files = [
+                torbi_tpu.CACHE_DIR / dataset / f'{stem}.pt'
+                for stem in _stems(dataset)]
+            _ensure_targets(
+                dataset, _stems(dataset), input_files, args.num_threads)
+            print(f'reference outputs ready: {dataset}', flush=True)
         return
 
     results = torbi_tpu.evaluate.datasets(
-        [DATASET], num_threads=args.num_threads)
-    print(json.dumps(results[DATASET], indent=1), flush=True)
+        datasets, num_threads=args.num_threads)
+    for dataset in datasets:
+        print(dataset, json.dumps(results[dataset], indent=1), flush=True)
 
     # Commit location: eval/{CONFIG}.json at the repo root
     repo_eval = Path(__file__).resolve().parent.parent / 'eval'

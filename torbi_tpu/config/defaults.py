@@ -191,6 +191,13 @@ BACKTRACE_BATCH1_FUSED = True
 # selects for; exact on peaked pitch posteriorgrams, tests/
 # test_autochunk.py). Diffuse observations yield no split candidates and
 # fall back to the serial kernels; False pins them for every input.
+#
+# MEASURED on v5e (scripts/batch1_ab.py, 10240-frame pitch config):
+# 5.74 ms/call (1.78M timesteps/s) vs 13.27-13.67 ms (~750-772K) for the
+# best serial configuration (spread + fused chase), path bitwise equal to
+# the serial kernels on the peaked input. The one-jit form matters: the
+# same route as three dispatches (gather / decode / regather as separate
+# jitted calls) measured 9.03 ms -- per-dispatch latency, not device time.
 BATCH1_AUTO_CHUNK = True
 
 # Single-sequence frame count below which auto-chunking is never

@@ -16,15 +16,18 @@ inside ``dispatch.decode`` for a single long banded sequence:
    the same greedy boundaries as the user-facing chunker) and cached per
    observation identity, so repeated decodes of a resident buffer skip the
    synchronizing round trip entirely;
-3. chunk rows are assembled by ONE jitted dynamic-slice gather whose
-   boundaries are runtime inputs -- only (n_rows, frame bucket) are static,
-   so arbitrary split patterns share a compile;
-4. the chunk batch decodes through the ordinary dispatch (stitched band
-   kernels, mod-M backtrace -- a serial chase over the longest ROW instead
-   of the whole sequence);
-5. the per-row paths are stitched back with one jitted gather, with frames
-   past the row's valid length frozen at the last decoded state (the
-   reference's padded-batch freeze semantics).
+3. ONE jitted program does everything else -- chunk rows gather out of the
+   sequence by dynamic slice (boundaries are runtime inputs: every split
+   pattern with the same (rows, frame bucket) shares the compile), the
+   ordinary staged decode pipeline from ``dispatch._build_decode`` inlines
+   over the row batch (stitched band kernels, mod-M backtrace: a serial
+   chase over the longest ROW instead of the whole sequence), and the
+   per-row paths gather back into the (1, frames) sequence, frames past a
+   row's valid length frozen at its last decoded state (the reference's
+   padded-batch freeze semantics). One dispatch per decode, exactly like
+   the serial path -- the earlier three-dispatch form (assemble / decode /
+   reassemble as separate jits) measured 2.3 ms/call slower through the
+   per-dispatch tunnel latency.
 
 Semantics are EXACTLY the reference's chunked mode: each chunk decodes
 with the caller's initial distribution, so the result matches the numpy
@@ -101,67 +104,64 @@ def _entropy_fn(packed, log_input, states):
     return jax.jit(compute)
 
 
-@functools.lru_cache(maxsize=16)
-def _assemble_fn(packed, bucket, log_input):
-    """One gather: (1, frames) observation -> (n_rows, bucket) chunk rows.
+@functools.lru_cache(maxsize=32)
+def _chunked_decode_fn(backend, batch_p, bucket, frames, packed, states,
+                       states_in, band, interpret, log_input, apply_epsilon,
+                       config_key):
+    """The single-dispatch chunked decode: gather rows -> staged pipeline
+    -> gather the sequence back, jitted as one program.
 
     Chunk row i is frames [starts[i], starts[i] + bucket) of the single
     real row; frames past the row's real length are live LATER frames (or
-    the -inf/0.0 tail pad), masked downstream by batch_frames exactly like
-    the dispatcher's own frame-bucket padding. Boundaries are runtime
-    inputs: every split pattern with the same (n_rows, bucket) shares this
-    compile.
+    the -inf/0.0 tail pad), masked downstream by lengths exactly like the
+    dispatcher's own frame-bucket padding. Padding rows (batch_p > real
+    rows) gather from start 0 with length 1. The final gather reads
+    out[t] = indices[row(t), t - starts[row(t)]] for t < valid and freezes
+    the tail at the last decoded state (the reference's argmax-seed
+    broadcast, /root/reference/torbi/csrc/viterbi.cpp:218-225).
     """
+    from .dispatch import _build_decode
+
+    pipeline = _build_decode(
+        backend, batch_p, bucket, states, states_in, band, interpret,
+        log_input, apply_epsilon, None, config_key, packed,
+        single=False, spread=False)
     pad_value = NEG_INF if log_input else 0.0
 
-    def assemble(observation, starts):
+    def combined(observation, starts_pad, lengths_pad, starts, valid,
+                 trans_p, init_p, band_matrix):
         if packed:
             obs = jnp.pad(
                 observation, ((0, 0), (0, 0), (0, bucket), (0, 0)),
                 constant_values=pad_value)
-
-            def one(start):
-                return jax.lax.dynamic_slice_in_dim(
-                    obs[:, 0], start, bucket, axis=1)
-
-            rows = jax.vmap(one)(starts)        # (n, M, bucket, 128)
-            return jnp.transpose(rows, (1, 0, 2, 3))
-        obs = jnp.pad(
-            observation, ((0, 0), (0, bucket), (0, 0)),
-            constant_values=pad_value)
-
-        def one(start):
-            return jax.lax.dynamic_slice_in_dim(obs[0], start, bucket, axis=0)
-
-        return jax.vmap(one)(starts)            # (n, bucket, states_in)
-
-    return jax.jit(assemble)
-
-
-@functools.lru_cache(maxsize=2)
-def _reassemble_fn():
-    """One gather: per-row decoded indices -> the (1, frames) path.
-
-    out[t] = indices[row(t), t - starts[row(t)]] for t < valid, frozen at
-    the final decoded state beyond (the reference's argmax-seed broadcast,
-    /root/reference/torbi/csrc/viterbi.cpp:218-225).
-    """
-    def reassemble(indices, starts, valid, frames):
+            rows = jax.vmap(
+                lambda start: jax.lax.dynamic_slice_in_dim(
+                    obs[:, 0], start, bucket, axis=1))(starts_pad)
+            rows = jnp.transpose(rows, (1, 0, 2, 3))
+        else:
+            obs = jnp.pad(
+                observation, ((0, 0), (0, bucket), (0, 0)),
+                constant_values=pad_value)
+            rows = jax.vmap(
+                lambda start: jax.lax.dynamic_slice_in_dim(
+                    obs[0], start, bucket, axis=0))(starts_pad)
+        indices = pipeline(rows, lengths_pad, trans_p, init_p, band_matrix)
         t = jnp.arange(frames, dtype=jnp.int32)
         tc = jnp.minimum(t, valid - 1)
         row = jnp.searchsorted(starts, tc, side='right') - 1
         return indices[row, tc - starts[row]][None]
 
-    return jax.jit(reassemble, static_argnums=3)
+    return jax.jit(combined)
 
 
 def plan_splits(entropy_values, valid, target):
-    """Host-side split plan: (starts, lengths) int32 arrays, or None when
+    """Host-side split plan: (starts, lengths, frame bucket), or None when
     chunking cannot pay.
 
     Aims for ~``target`` frames per chunk in multiples of 8 rows (one
     backtrace batch tile), requiring at least 4 rows and at least a 2x
-    reduction in serial tile-frames (tiles x padded frame bucket) over the
+    reduction in serial tile-frames (tiles x padded frame bucket; the TPU
+    grid is sequential, so chase steps ADD across tiles) over the
     unchunked sequence -- diffuse observations with few confident split
     points fall back to the exact serial kernels.
     """
@@ -185,17 +185,22 @@ def plan_splits(entropy_values, valid, target):
 
 
 def decode_chunked(observation, batch_frames, transition, initial, *,
-                   backend, packed, states, log_input, apply_epsilon):
+                   backend, packed, states, band, log_input, apply_epsilon):
     """Auto-chunked batch-1 decode, or None to fall back to the serial
     kernels (no viable split plan, or the assembly would not fit the
     memory budget). Called by ``dispatch.decode`` only; preconditions
     (batch 1, banded transition with width > 0, finiteness established by
-    the band gate) hold there.
+    the band gate) hold there. Bypasses the dispatcher's memory guard and
+    auto-shard (single-chip batch-1 is the target; the size guard below
+    bounds the footprint instead).
     """
     from . import dispatch
 
     frames = observation.shape[2] if packed else observation.shape[1]
-    # The assembly materializes ~2.2x the observation (tail-padded copy +
+    states_in = (
+        observation.shape[0] * observation.shape[3] if packed
+        else observation.shape[2])
+    # The program materializes ~2.2x the observation (tail-padded copy +
     # the gathered rows); a sequence too big for that decodes serially,
     # exactly as before this route existed
     obs_bytes = int(np.prod(observation.shape)) * 4
@@ -217,9 +222,15 @@ def decode_chunked(observation, batch_frames, transition, initial, *,
         if split_plan is None:
             return None
         starts, lengths, bucket = split_plan
+        batch_p = dispatch.bucket_batch(len(starts))
+        pad = batch_p - len(starts)
         # Device copies live in the plan so steady-state decodes of a
-        # resident buffer re-submit with no host->device transfers
-        return (jnp.asarray(starts), jnp.asarray(lengths), bucket, valid)
+        # resident buffer re-submit with no host->device transfers;
+        # padding rows gather [0, bucket) and decode 1 valid frame
+        return (
+            jnp.asarray(np.pad(starts, (0, pad))),
+            jnp.asarray(np.pad(lengths, (0, pad), constant_values=1)),
+            jnp.asarray(starts), batch_p, bucket, valid)
 
     plan = _cached_plan(
         observation, batch_frames, compute,
@@ -228,11 +239,14 @@ def decode_chunked(observation, batch_frames, transition, initial, *,
                        torbi_tpu, 'BATCH1_AUTO_CHUNK_MIN_FRAMES', 4096))))
     if plan is None:
         return None
-    starts, lengths, bucket, valid = plan
+    starts_pad, lengths_pad, starts, batch_p, bucket, valid = plan
 
-    rows = _assemble_fn(packed, bucket, log_input)(observation, starts)
-    indices = dispatch.decode(
-        rows, lengths, transition, initial, backend=backend,
-        finite_observation=True, log_input=log_input,
-        apply_epsilon=apply_epsilon)
-    return _reassemble_fn()(indices, starts, valid, frames)
+    interpret = jax.default_backend() != 'tpu'
+    states_p = ((states + 127) // 128) * 128
+    trans_p, init_p, band_matrix = dispatch._prepare_padded(
+        transition, initial, states, states_p, band)
+    fn = _chunked_decode_fn(
+        backend, batch_p, bucket, frames, packed, states, states_in, band,
+        interpret, log_input, apply_epsilon, dispatch._config_key())
+    return fn(observation, starts_pad, lengths_pad, starts, valid,
+              trans_p, init_p, band_matrix)

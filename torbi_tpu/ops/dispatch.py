@@ -683,7 +683,7 @@ def decode(observation, batch_frames, transition, initial, backend=None,
         from . import autochunk
         chunked = autochunk.decode_chunked(
             observation, batch_frames, transition, initial,
-            backend=backend, packed=packed, states=states,
+            backend=backend, packed=packed, states=states, band=band,
             log_input=log_input, apply_epsilon=apply_epsilon)
         if chunked is not None:
             return chunked
