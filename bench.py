@@ -658,14 +658,17 @@ def main():
     # a smaller run fits, explicit skip otherwise
     if 'chunked' in selected:
         rem = _remaining()
+        # Measured r05 costs on a healthy tunnel: the full 1M config ~10
+        # min (generation + 2 wall passes + device metric), the 2^18
+        # single-pass degraded form ~5 min
         if args.quick:
             bench_chunked(frames=1 << 12)
-        elif rem > 420:
+        elif rem > 660:
             bench_chunked(frames=1 << 20)
-        elif rem > 150:
-            _info(f'chunked: degrading to 2^18 frames '
+        elif rem > 330:
+            _info(f'chunked: degrading to 2^18 frames / single pass '
                   f'({rem:.0f} s budget left)')
-            bench_chunked(frames=1 << 18, passes=2)
+            bench_chunked(frames=1 << 18, passes=1)
         else:
             emit_skipped('timesteps_per_second_1m_frames_chunked')
             emit_skipped('timesteps_per_second_1m_frames_chunked_device')

@@ -35,8 +35,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Two corpora mirror the reference's two evaluation datasets (daps, vctk)
-DATASET_SEEDS = {'synthdaps': 11, 'synthvctk': 7011}
+# Two corpora mirror the reference's two evaluation datasets (daps, vctk);
+# 'synth' is the round-4 corpus (kept so its cached reference outputs --
+# ~30 min of float64 decoding -- stay valid for e.g. the hyper sweep)
+DATASET_SEEDS = {'synthdaps': 11, 'synthvctk': 7011, 'synth': 11}
 
 
 def build_corpus(workdir, dataset, n_files, min_frames, max_frames, seed):
@@ -128,7 +130,11 @@ def main():
     # config system consumes --config from sys.argv at import time
     # (it takes override-file PATHS), so this script's artifact
     # name must use a different flag
-    parser.add_argument('--config-name', default='synth-tpu-v5e')
+    parser.add_argument(
+        '--config-name', default='synth-tpu-v5e',
+        help="artifact name; 'composed' keeps the CONFIG set by a "
+             '--config composition file (e.g. config/hyper.py, whose '
+             'self-incrementing grid names each sweep point)')
     parser.add_argument('--num-threads', type=int, default=1)
     parser.add_argument(
         '--batch-size', type=int, default=None,
@@ -181,7 +187,10 @@ def main():
               flush=True)
 
     import torbi_tpu
-    configure(workdir, args.config_name, datasets, args.files)
+    config_name = (
+        torbi_tpu.CONFIG if args.config_name == 'composed'
+        else args.config_name)
+    configure(workdir, config_name, datasets, args.files)
     if args.batch_size is not None:
         torbi_tpu.BATCH_SIZE = args.batch_size
     if args.min_chunk is not None:
@@ -211,9 +220,9 @@ def main():
     repo_eval = Path(__file__).resolve().parent.parent / 'eval'
     repo_eval.mkdir(exist_ok=True)
     shutil.copyfile(
-        torbi_tpu.EVAL_DIR / f'{args.config_name}.json',
-        repo_eval / f'{args.config_name}.json')
-    print(f'artifact: eval/{args.config_name}.json', flush=True)
+        torbi_tpu.EVAL_DIR / f'{config_name}.json',
+        repo_eval / f'{config_name}.json')
+    print(f'artifact: eval/{config_name}.json', flush=True)
 
 
 if __name__ == '__main__':
