@@ -190,3 +190,83 @@ def test_load_batch_packed_rejects_unpadded(tmp_path):
     file_a, _ = _write(tmp_path, 'pr', 3, 6, rng)
     assert native.load_batch(
         [file_a], 4, 6, padded_states=6, pack=True) is None
+
+
+def test_native_loader_splits_batches_at_bucket_boundaries(tmp_path):
+    """Length-sorted batches split where the frame bucket steps up (rows
+    pad only to their own bucket -- the files-device throughput fix), but
+    sliver segments under one batch tile absorb the next bucket instead"""
+    rng = np.random.default_rng(5)
+    from torbi_tpu.data.loader import NativeDataLoader
+
+    # 9 short files (bucket 8) + 3 long (bucket 32): the short run is a
+    # full tile, so it forms its own batch instead of padding to 32
+    files = []
+    for i, frames in enumerate([5] * 9 + [30] * 3):
+        file, _ = _write(tmp_path, f's{i}', frames, 7, rng)
+        files.append(file)
+    old = torbi_tpu.BATCH_SIZE
+    old_split = torbi_tpu.LOADER_SPLIT_MIN_ROWS
+    torbi_tpu.BATCH_SIZE = 64
+    torbi_tpu.LOADER_SPLIT_MIN_ROWS = 8
+    try:
+        batches = list(loader(files))
+        assert [obs.shape[:2] for obs, *_ in batches] == [(9, 8), (3, 32)]
+        total = sorted(
+            int(n) for _, frames, _, _ in batches for n in frames.tolist())
+        assert total == sorted([5] * 9 + [30] * 3)
+
+        # 3 short + 9 long: the 3-file sliver absorbs into one batch
+        sliver = files[6:]  # 3 short + 3 long
+        data_loader = loader(sliver)
+        assert isinstance(data_loader, NativeDataLoader)
+        batches = list(data_loader)
+        assert [obs.shape[:2] for obs, *_ in batches] == [(6, 32)]
+    finally:
+        torbi_tpu.BATCH_SIZE = old
+        torbi_tpu.LOADER_SPLIT_MIN_ROWS = old_split
+
+
+def test_native_loader_pow2_subdivision(tmp_path):
+    """A segment whose row count would pad far up (82 -> 128) subdivides
+    into power-of-two loads (64 + 16 + 2); counts already at their padded
+    size stay whole"""
+    from torbi_tpu.data.loader import NativeDataLoader
+
+    rng = np.random.default_rng(6)
+    files = []
+    for i in range(19):  # one bucket, 19 rows: 19 -> 32 pad vs 16 + 8
+        file, _ = _write(tmp_path, f'p{i}', 5 + (i % 3), 4, rng)
+        files.append(file)
+    old = torbi_tpu.BATCH_SIZE
+    old_split = torbi_tpu.LOADER_SPLIT_MIN_ROWS
+    torbi_tpu.BATCH_SIZE = 64
+    torbi_tpu.LOADER_SPLIT_MIN_ROWS = 8
+    try:
+        batches = list(loader(files))
+    finally:
+        torbi_tpu.BATCH_SIZE = old
+        torbi_tpu.LOADER_SPLIT_MIN_ROWS = old_split
+    assert [obs.shape[0] for obs, *_ in batches] == [16, 3]
+    total = sorted(
+        int(n) for _, frames, _, _ in batches for n in frames.tolist())
+    assert len(total) == 19
+
+
+def test_native_loader_default_policy_keeps_mixed_batches(tmp_path):
+    """LOADER_SPLIT_MIN_ROWS=None (the shipped default, tuned for the
+    per-call dispatch cost -- config/defaults.py): one mixed batch per
+    BATCH_SIZE, no bucket splitting"""
+    rng = np.random.default_rng(7)
+    files = []
+    for i, frames in enumerate([5] * 9 + [30] * 3):
+        file, _ = _write(tmp_path, f'd{i}', frames, 4, rng)
+        files.append(file)
+    old = torbi_tpu.BATCH_SIZE
+    torbi_tpu.BATCH_SIZE = 64
+    try:
+        assert torbi_tpu.LOADER_SPLIT_MIN_ROWS is None
+        batches = list(loader(files))
+    finally:
+        torbi_tpu.BATCH_SIZE = old
+    assert [obs.shape[:2] for obs, *_ in batches] == [(12, 32)]

@@ -253,6 +253,25 @@ TIME_SHARDED_MIN_FRAMES = 32768
 # Use the native (C++) threaded .npy batch loader when applicable
 USE_NATIVE_LOADER = True
 
+# Native-loader batch segmentation over the length-sorted files: split at
+# frame-bucket boundaries (rows pad only to their own bucket) when the
+# segment has at least this many rows, then subdivide to power-of-two row
+# counts (the dispatcher pads batch to the next power of two). None keeps
+# one mixed-length batch per BATCH_SIZE. The tradeoff is padded
+# slot-frames vs number of decode calls x fixed per-call dispatch cost.
+# MEASURED (scripts/files_policy.py, 256-file 400-1600-frame corpus,
+# async-pipelined decode, v5e via the axon tunnel,
+# eval/files_policy_r5.out):
+#   None: 2 calls, 524K slot-row-frames, 74.3 ms -> 3.47M timesteps/s
+#   8:   11 calls, 331K slot-row-frames, 135.4 ms -> 1.90M
+#   64:   6 calls, 348K slot-row-frames,  97.7 ms -> 2.64M
+# Fitting wall = slots*c1 + calls*c2 gives c1 ~ 87 ns/slot-row-frame and
+# c2 ~ 10 ms/call -- the tunnel's serialized per-call dispatch dominates,
+# so None (fewest calls) wins HERE despite 1.6x more padded slots. On a
+# production host (c2 ~ 0.1-0.3 ms) the same fit predicts the fine split
+# wins ~1.5x (331K*c1 + 11*c2 ~ 31 ms vs 46 ms); set 8 there.
+LOADER_SPLIT_MIN_ROWS = None
+
 
 ###############################################################################
 # Evaluation

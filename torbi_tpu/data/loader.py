@@ -88,15 +88,74 @@ class NativeDataLoader:
             range(len(input_files)), key=lambda i: shapes[i][0])
         self.input_files = [input_files[i] for i in order]
         self.shapes = [shapes[i] for i in order]
+        self.segments = self._segments()
+
+    def _segments(self):
+        """Batch boundaries over the length-sorted files: capped at
+        batch_size AND split wherever the frame bucket steps up, so a
+        batch's rows pad only to their own bucket. One mixed-length
+        512-cap batch over a 400-1600-frame corpus pads every row to the
+        2048 bucket (~2x slot-frame waste). Splitting trades padded slots
+        for MORE decode calls, and each call carries a fixed dispatch
+        cost, so segments shorter than LOADER_SPLIT_MIN_ROWS absorb the
+        next bucket instead of forming a sliver batch (None disables
+        bucket splitting entirely -- one mixed batch per batch_size, the
+        right shape when per-call dispatch is expensive, e.g. this
+        development environment's ~4 ms/call tunnel; see
+        config/defaults.py for the measured tradeoff).
+        """
+        from ..ops.dispatch import bucket_frames
+
+        min_rows = getattr(torbi_tpu, 'LOADER_SPLIT_MIN_ROWS', 8)
+        segments, start, count = [], 0, 0
+        bucket = None
+        for i, shape in enumerate(self.shapes):
+            row_bucket = bucket_frames(shape[0])
+            if count and (
+                    count >= self.batch_size
+                    or (min_rows is not None and row_bucket != bucket
+                        and count >= min_rows)):
+                segments.append((start, i))
+                start, count = i, 0
+            bucket = row_bucket
+            count += 1
+        if count:
+            segments.append((start, len(self.shapes)))
+        if min_rows is None:
+            return segments
+        # Power-of-two row counts: the dispatcher pads each decode batch
+        # to the next power of two (bucket_batch), so an 82-row batch
+        # would allocate and run 128 rows; emitting 64 + 16 + 2 instead
+        # pads only the final sub-batch. Applied only when it strictly
+        # reduces padded row slots (9 -> 8 + 1 is still 16 slots but two
+        # dispatches; keep it whole)
+        from ..ops.dispatch import bucket_batch
+
+        subdivided = []
+        for start, stop in segments:
+            n = stop - start
+            sizes, left = [], n
+            while left > 0:
+                size = 8
+                while size * 2 <= min(left, self.batch_size):
+                    size *= 2
+                sizes.append(min(size, left))
+                left -= sizes[-1]
+            if sum(bucket_batch(s) for s in sizes) < bucket_batch(n):
+                for size in sizes:
+                    subdivided.append((start, start + size))
+                    start += size
+            else:
+                subdivided.append((start, stop))
+        return subdivided
 
     def __len__(self):
-        return (len(self.input_files) + self.batch_size - 1) \
-            // self.batch_size
+        return len(self.segments)
 
-    def _load(self, start):
+    def _load(self, segment):
         from ..ops.dispatch import bucket_frames, padded_states
 
-        stop = min(start + self.batch_size, len(self.input_files))
+        start, stop = segment
         files = self.input_files[start:stop]
         shapes = self.shapes[start:stop]
         # Bucketed frames keep host-to-device transfers tile-aligned
@@ -122,11 +181,10 @@ class NativeDataLoader:
         # overlap the threaded python loader gets from its pool
         from concurrent.futures import ThreadPoolExecutor
 
-        starts = range(0, len(self.input_files), self.batch_size)
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
-            for start in starts:
-                future = pool.submit(self._load, start)
+            for segment in self.segments:
+                future = pool.submit(self._load, segment)
                 if pending is not None:
                     yield pending.result()
                 pending = future
