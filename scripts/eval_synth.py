@@ -38,7 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Two corpora mirror the reference's two evaluation datasets (daps, vctk);
 # 'synth' is the round-4 corpus (kept so its cached reference outputs --
 # ~30 min of float64 decoding -- stay valid for e.g. the hyper sweep)
-DATASET_SEEDS = {'synthdaps': 11, 'synthvctk': 7011, 'synth': 11}
+DATASET_SEEDS = {
+    'synthdaps': 11, 'synthvctk': 7011, 'synth': 11,
+    # small corpus for the hyper sweep: 12 grid points x a tunnel-bound
+    # ~3.5 s/file on batch-1 points prices the sweep off larger corpora
+    'synthsweep': 4242}
+
+# Reference-scale stem counts: the reference evaluates EVALUATION_SAMPLES
+# (8192, /root/reference/torbi/config/defaults.py:59) stems per dataset,
+# but its shipped daps partition only has 700 stems total
+# (/root/reference/torbi/assets/partitions/daps.json) -- so the real
+# published workload is 700 + 8192 stems
+DATASET_FILES = {'synthdaps': 700, 'synthvctk': 8192}
 
 
 def build_corpus(workdir, dataset, n_files, min_frames, max_frames, seed):
@@ -116,7 +127,11 @@ def configure(workdir, config_name, datasets, n_files):
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument('--files', type=int, default=256)
+    parser.add_argument(
+        '--files', default='256',
+        help="files per corpus: an integer, or 'reference' for the "
+             'per-dataset reference partition sizes '
+             f'({DATASET_FILES}, 8192 elsewhere)')
     parser.add_argument('--min-frames', type=int, default=128)
     parser.add_argument('--max-frames', type=int, default=512)
     parser.add_argument(
@@ -130,6 +145,11 @@ def main():
     # config system consumes --config from sys.argv at import time
     # (it takes override-file PATHS), so this script's artifact
     # name must use a different flag
+    parser.add_argument(
+        '--config', nargs='*', default=None,
+        help='composition override file(s); consumed by the torbi_tpu '
+             'config system at import (declared here only so argparse '
+             'tolerates it, mirroring config/core.ArgumentParser)')
     parser.add_argument(
         '--config-name', default='synth-tpu-v5e',
         help="artifact name; 'composed' keeps the CONFIG set by a "
@@ -179,9 +199,14 @@ def main():
 
     workdir = Path(args.workdir)
     datasets = args.datasets.split(',')
+    counts = {
+        dataset: (DATASET_FILES.get(dataset, 8192)
+                  if args.files == 'reference' else int(args.files))
+        for dataset in datasets}
     for dataset in datasets:
         stems, lengths = build_corpus(
-            workdir, dataset, args.files, args.min_frames, args.max_frames,
+            workdir, dataset, counts[dataset], args.min_frames,
+            args.max_frames,
             seed=DATASET_SEEDS.get(dataset, abs(hash(dataset)) % 10000))
         print(f'corpus {dataset}: {len(stems)} files, {sum(lengths)} frames',
               flush=True)
@@ -190,7 +215,7 @@ def main():
     config_name = (
         torbi_tpu.CONFIG if args.config_name == 'composed'
         else args.config_name)
-    configure(workdir, config_name, datasets, args.files)
+    configure(workdir, config_name, datasets, max(counts.values()))
     if args.batch_size is not None:
         torbi_tpu.BATCH_SIZE = args.batch_size
     if args.min_chunk is not None:
